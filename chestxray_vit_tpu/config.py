@@ -1,0 +1,345 @@
+"""Typed configuration for the whole framework.
+
+The reference exposes its knobs as module-level constants (recovered pyc
+source L64-L91 of /root/reference/__pycache__/ViT-Training.cpython-310.pyc)
+and as a literal ``config`` dict (/root/reference/ViT-Training.py:155-166),
+with no CLI. This module exposes the union of both knob surfaces as typed
+dataclasses with the same names, plus a CLI built on argparse.
+
+Two presets reproduce the two reference variants:
+
+- :func:`version_b_config` — the GCS-streaming production pipeline
+  (pyc L64-L91: IMG_SIZE=384, BATCH_SIZE_PER_CORE=8, LR=1e-4, WD=0.01,
+  4 epochs, eval/save every 500 steps, best-by-avg_auroc).
+- :func:`version_a_config` — the checked-in HF-datasets variant
+  (ViT-Training.py:155-166: batch 32 train / 64 eval, LR=2e-5, 5 epochs,
+  per-epoch eval/save, best-by-f1_micro).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional, Sequence, Tuple
+
+# ImageNet normalization constants, identical to the reference
+# (pyc L78-L79: VIT_MEAN / VIT_STD) and to HF ViTImageProcessor defaults.
+VIT_MEAN: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+VIT_STD: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+
+# The canonical NIH ChestX-ray14 class vocabulary produced by the reference's
+# label engine (pyc L152-L157): 14 pathologies + 'No Finding', sorted.
+NIH_CLASSES: Tuple[str, ...] = (
+    "Atelectasis",
+    "Cardiomegaly",
+    "Consolidation",
+    "Edema",
+    "Effusion",
+    "Emphysema",
+    "Fibrosis",
+    "Hernia",
+    "Infiltration",
+    "Mass",
+    "No Finding",
+    "Nodule",
+    "Pleural_Thickening",
+    "Pneumonia",
+    "Pneumothorax",
+)
+
+
+@dataclass
+class DataConfig:
+    """Input-pipeline and dataset-layout knobs.
+
+    Mirrors the reference's GCS layout constants (pyc L64-L70) and its
+    subsetting knob USE_SUBSET_DATA (pyc L89, README.md:29,82).
+    """
+
+    # Storage backend: 'gcs' streams from a bucket like the reference;
+    # 'local' reads the same layout from a directory; 'memory' is the
+    # in-process fake store used by tests.
+    backend: str = "local"
+    gcp_project_id: str = ""
+    gcs_bucket_name: str = ""
+    gcs_image_base_prefix: str = ""
+    local_root: str = ""
+
+    # Metadata files, relative to the bucket/base prefix (pyc L66-L69).
+    bbox_csv: str = "BBox_List_2017.csv"
+    data_entry_csv: str = "Data_Entry_2017.csv"
+    train_val_list: str = "train_val_list.txt"
+    test_list: str = "test_list.txt"
+
+    # Image folders images_001/images/ .. images_012/images/ (pyc L222).
+    num_image_folders: int = 12
+    image_folder_template: str = "images_{:03d}/images/"
+
+    # USE_SUBSET_DATA: when an int N, train uses the first N samples and val
+    # the first N // 5 (pyc L254-L255, L431).
+    use_subset_data: Optional[int] = None
+
+    # Split scheme. 'official_lists' = Version B: official train_val/test
+    # list files, then train/val via train_test_split(test_size=0.15,
+    # random_state=42) (pyc L407-L415). 'random_80_10_10' = Version A:
+    # 80/10/10 with seed 42 (ViT-Training.py:39-46).
+    split_scheme: str = "official_lists"
+    val_fraction: float = 0.15
+    split_seed: int = 42
+
+    # Whether to crop to the first bbox when one exists for the image
+    # (pyc L289-L291), else pad-to-square.
+    use_bbox_roi: bool = True
+
+    # Augmentation for the Version-A parity path (ViT-Training.py:62-63):
+    # RandomResizedCrop(img_size) + RandomHorizontalFlip on train.
+    augment: bool = False
+
+    # Host pipeline shape.
+    num_workers: int = 8            # decode thread count (A: num_workers=8)
+    prefetch_depth: int = 4         # batches buffered ahead of the device
+    decode_canvas: int = 1024       # fixed host canvas (NIH natives are 1024²)
+    shuffle_buffer_seed: int = 42
+
+
+@dataclass
+class ModelConfig:
+    """ViT architecture knobs. Defaults = google/vit-base-patch16-384
+    (ViT-Training.py:158, pyc L76), the reference's only model."""
+
+    model_name: str = "google/vit-base-patch16-384"
+    img_size: int = 384             # IMG_SIZE (pyc L77)
+    patch_size: int = 16
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_dim: int = 3072
+    num_classes: int = 15           # NUM_CLASSES (pyc L174): 14 + No Finding
+    layernorm_eps: float = 1e-12    # HF ViTConfig default
+    hidden_dropout: float = 0.0
+    attention_dropout: float = 0.0
+    # Representation/activations dtype under training (XLA_USE_BF16=1 in the
+    # reference, pyc L7); master params stay float32.
+    dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+    # Gradient checkpointing (BASELINE.json configs[2], ViT-L path).
+    remat: bool = False
+    # Use the Pallas flash-attention kernel on TPU ('auto' falls back to the
+    # XLA reference implementation on CPU).
+    attention_impl: str = "auto"    # 'auto' | 'pallas' | 'xla'
+
+    @property
+    def num_patches(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1  # + CLS
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+def vit_large_config(img_size: int = 384, num_classes: int = 15) -> ModelConfig:
+    """ViT-L/16 (BASELINE.json configs[2])."""
+    return ModelConfig(
+        model_name="google/vit-large-patch16-384",
+        img_size=img_size,
+        hidden_size=1024,
+        num_layers=24,
+        num_heads=16,
+        mlp_dim=4096,
+        num_classes=num_classes,
+        remat=True,
+    )
+
+
+@dataclass
+class TrainConfig:
+    """Optimization & orchestration knobs.
+
+    Union of the reference's TrainingArguments surfaces:
+    Version B (pyc L438-L456) and Version A (ViT-Training.py:92-132).
+    """
+
+    batch_size_per_core: int = 8            # BATCH_SIZE_PER_CORE (pyc L83)
+    eval_batch_size_per_core: Optional[int] = None  # A uses 64 (.py:162)
+    learning_rate: float = 1e-4             # LEARNING_RATE (pyc L84)
+    weight_decay: float = 0.01              # WEIGHT_DECAY (pyc L85)
+    num_epochs: float = 4                   # NUM_EPOCHS (pyc L86)
+    max_steps: Optional[int] = None         # overrides epochs when set
+    lr_schedule: str = "linear"             # HF Trainer default: linear decay
+    warmup_steps: int = 0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    max_grad_norm: float = 1.0              # HF Trainer default clipping
+
+    # Cadence. Version B: steps-based eval/save 500, log 50 (pyc L442-L447).
+    # Version A: per-epoch ('epoch') eval/save, log 100 (.py:98-101).
+    eval_strategy: str = "steps"            # 'steps' | 'epoch' | 'no'
+    eval_steps: int = 500
+    save_strategy: str = "steps"
+    save_steps: int = 500
+    logging_steps: int = 50
+    save_total_limit: int = 2               # (pyc L450)
+    load_best_model_at_end: bool = True
+    metric_for_best_model: str = "avg_auroc"  # B (pyc L455); A: 'f1_micro'
+    greater_is_better: bool = True
+
+    bf16: bool = True                       # (pyc L444; .py:105)
+    seed: int = 42
+    output_dir: str = "./outputs"
+    report_to: str = "tensorboard"          # B (pyc L453); A: 'none'
+    resume_from_checkpoint: Optional[str] = None
+    profile_steps: Optional[Tuple[int, int]] = None  # (start, stop) profiler
+
+    @property
+    def eval_batch_size(self) -> int:
+        return self.eval_batch_size_per_core or self.batch_size_per_core
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh layout. The reference is pure data-parallel over 8 TPU
+    cores (xmp.spawn, pyc L515); here DP rides a named mesh axis so the same
+    step function scales to multi-host and to fsdp/tensor axes later."""
+
+    # -1 = use all available devices on the data axis.
+    data: int = -1
+    fsdp: int = 1
+    tensor: int = 1
+    axis_names: Tuple[str, ...] = ("data", "fsdp", "tensor")
+
+
+@dataclass
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @staticmethod
+    def from_json(text: str) -> "Config":
+        raw = json.loads(text)
+        return Config(
+            data=DataConfig(**raw.get("data", {})),
+            model=ModelConfig(**raw.get("model", {})),
+            train=TrainConfig(**raw.get("train", {})),
+            mesh=MeshConfig(**{k: tuple(v) if isinstance(v, list) else v
+                               for k, v in raw.get("mesh", {}).items()}),
+        )
+
+
+def version_b_config() -> Config:
+    """The production (GCS streaming) pipeline, pyc L64-L91 + L438-L456."""
+    return Config(
+        data=DataConfig(
+            backend="gcs",
+            gcs_bucket_name="chest-xray-samir",
+            split_scheme="official_lists",
+            use_bbox_roi=True,
+            augment=False,
+        ),
+        model=ModelConfig(num_classes=15),
+        train=TrainConfig(
+            batch_size_per_core=8,
+            learning_rate=1e-4,
+            weight_decay=0.01,
+            num_epochs=4,
+            eval_strategy="steps",
+            eval_steps=500,
+            save_steps=500,
+            logging_steps=50,
+            metric_for_best_model="avg_auroc",
+            report_to="tensorboard",
+            output_dir=os.path.expanduser("~/vit_finetune_results"),
+        ),
+    )
+
+
+def version_a_config() -> Config:
+    """The checked-in HF-datasets variant, ViT-Training.py:92-132,155-166."""
+    return Config(
+        data=DataConfig(
+            backend="local",
+            split_scheme="random_80_10_10",
+            use_bbox_roi=False,
+            augment=True,
+        ),
+        model=ModelConfig(num_classes=15),
+        train=TrainConfig(
+            batch_size_per_core=32,
+            eval_batch_size_per_core=64,
+            learning_rate=2e-5,
+            weight_decay=0.0,
+            num_epochs=5,
+            eval_strategy="epoch",
+            save_strategy="epoch",
+            logging_steps=100,
+            metric_for_best_model="f1_micro",
+            report_to="none",
+            output_dir="./nih-xray-vit-programmatic-finetuned",
+        ),
+    )
+
+
+_PRESETS = {
+    "version_a": version_a_config,
+    "version_b": version_b_config,
+    "default": Config,
+}
+
+
+def _set_by_path(cfg: Config, dotted: str, value: str) -> None:
+    """Set cfg.<section>.<field> from a CLI string, coercing to field type."""
+    parts = dotted.split(".")
+    obj: Any = cfg
+    for p in parts[:-1]:
+        obj = getattr(obj, p)
+    name = parts[-1]
+    if not hasattr(obj, name):
+        raise KeyError(f"unknown config key: {dotted}")
+    current = getattr(obj, name)
+    fields = {f.name: f for f in dataclasses.fields(obj)}
+    ftype = fields[name].type if name in fields else type(current)
+    text = str(ftype)
+    if value.lower() in ("none", "null"):
+        coerced: Any = None
+    elif "bool" in text:
+        coerced = value.lower() in ("1", "true", "yes", "on")
+    elif "int" in text:
+        coerced = int(value)
+    elif "float" in text:
+        coerced = float(value)
+    elif "Tuple" in text or "tuple" in text:
+        coerced = tuple(json.loads(value))
+    else:
+        coerced = value
+    setattr(obj, name, coerced)
+
+
+def parse_cli(argv: Optional[Sequence[str]] = None) -> Config:
+    """CLI: ``--preset version_b --set train.learning_rate=3e-4 ...``"""
+    ap = argparse.ArgumentParser(prog="chestxray_vit_tpu")
+    ap.add_argument("--preset", default="default", choices=sorted(_PRESETS))
+    ap.add_argument("--config", default=None, help="path to a JSON config")
+    ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                    help="override, e.g. --set train.learning_rate=1e-4")
+    ns = ap.parse_args(argv)
+    if ns.config:
+        with open(ns.config) as f:
+            cfg = Config.from_json(f.read())
+    else:
+        cfg = _PRESETS[ns.preset]()
+    for kv in ns.set:
+        key, _, value = kv.partition("=")
+        _set_by_path(cfg, key.strip(), value.strip())
+    return cfg

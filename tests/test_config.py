@@ -1,0 +1,76 @@
+"""Config knob surface tests (SURVEY.md §2.2)."""
+
+from chestxray_vit_tpu.config import (
+    NIH_CLASSES,
+    Config,
+    parse_cli,
+    version_a_config,
+    version_b_config,
+    vit_large_config,
+)
+
+
+def test_version_b_knobs_match_reference():
+    # pyc L76-L91, L438-L456
+    cfg = version_b_config()
+    assert cfg.model.model_name == "google/vit-base-patch16-384"
+    assert cfg.model.img_size == 384
+    assert cfg.model.num_classes == 15
+    assert cfg.train.batch_size_per_core == 8
+    assert cfg.train.learning_rate == 1e-4
+    assert cfg.train.weight_decay == 0.01
+    assert cfg.train.num_epochs == 4
+    assert cfg.train.eval_steps == 500
+    assert cfg.train.save_steps == 500
+    assert cfg.train.logging_steps == 50
+    assert cfg.train.save_total_limit == 2
+    assert cfg.train.metric_for_best_model == "avg_auroc"
+    assert cfg.train.bf16
+    assert cfg.data.split_scheme == "official_lists"
+    assert cfg.data.val_fraction == 0.15
+    assert cfg.data.split_seed == 42
+
+
+def test_version_a_knobs_match_reference():
+    # ViT-Training.py:92-132, 155-166
+    cfg = version_a_config()
+    assert cfg.train.batch_size_per_core == 32
+    assert cfg.train.eval_batch_size == 64
+    assert cfg.train.learning_rate == 2e-5
+    assert cfg.train.num_epochs == 5
+    assert cfg.train.eval_strategy == "epoch"
+    assert cfg.train.metric_for_best_model == "f1_micro"
+    assert cfg.data.augment
+
+
+def test_model_derived_shapes():
+    cfg = Config()
+    assert cfg.model.num_patches == 576   # (384/16)^2
+    assert cfg.model.seq_len == 577       # + CLS (SURVEY §2.4)
+    assert cfg.model.head_dim == 64
+    large = vit_large_config()
+    assert large.num_layers == 24 and large.seq_len == 577
+
+
+def test_nih_vocabulary():
+    assert len(NIH_CLASSES) == 15
+    assert "No Finding" in NIH_CLASSES
+    assert list(NIH_CLASSES) == sorted(NIH_CLASSES)
+
+
+def test_cli_roundtrip_and_overrides():
+    cfg = parse_cli(["--preset", "version_b",
+                     "--set", "train.learning_rate=3e-4",
+                     "--set", "data.use_subset_data=1000",
+                     "--set", "model.remat=true"])
+    assert cfg.train.learning_rate == 3e-4
+    assert cfg.data.use_subset_data == 1000
+    assert cfg.model.remat is True
+    rt = Config.from_json(cfg.to_json())
+    assert rt.train.learning_rate == 3e-4
+    assert rt.data.use_subset_data == 1000
+
+
+def test_use_subset_none_via_cli():
+    cfg = parse_cli(["--set", "data.use_subset_data=none"])
+    assert cfg.data.use_subset_data is None
