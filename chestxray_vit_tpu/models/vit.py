@@ -1,0 +1,255 @@
+"""From-scratch Vision Transformer in functional JAX.
+
+The reference delegates its entire model to HF
+``ViTForImageClassification.from_pretrained('google/vit-base-patch16-384')``
+(/root/reference/ViT-Training.py:83-90; pyc L381-L386). This module rebuilds
+that architecture TPU-first:
+
+- the 16×16 conv patch-embed becomes a single patch-extract reshape + matmul
+  (conv-as-matmul keeps the FLOPs on the MXU with no im2col materialization),
+- the encoder stack runs under ``lax.scan`` over stacked per-layer params
+  (one compiled block trace instead of 12/24, with optional
+  ``jax.checkpoint`` rematerialization for ViT-L),
+- attention dispatches to the Pallas flash kernel on TPU,
+- bf16 activations with f32 LayerNorm/softmax; master params stay f32.
+
+Numerics match HF exactly in f32: erf GELU, LayerNorm eps 1e-12, pre-LN
+residual blocks, CLS-token classification head (SURVEY.md §7 hard part 1).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from chestxray_vit_tpu.config import ModelConfig
+from chestxray_vit_tpu.ops.flash_attention import attention, attention_xla
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Initialization (HF ViT init: trunc-normal(0.02) weights, zero biases)
+# ---------------------------------------------------------------------------
+
+def init_params(rng: jax.Array, cfg: ModelConfig) -> Params:
+    d, l = cfg.hidden_size, cfg.num_layers
+    patch_dim = cfg.patch_size * cfg.patch_size * 3
+    keys = iter(jax.random.split(rng, 16))
+    trunc = jax.nn.initializers.truncated_normal(stddev=0.02)
+    pdt = jnp.dtype(cfg.param_dtype)
+
+    def tn(key, shape):
+        return trunc(key, shape, pdt)
+
+    def block_keys(key, n):
+        return jax.random.split(key, n)
+
+    bk = block_keys(next(keys), 6)
+    blocks = {
+        "ln1": {"scale": jnp.ones((l, d), pdt), "bias": jnp.zeros((l, d), pdt)},
+        "ln2": {"scale": jnp.ones((l, d), pdt), "bias": jnp.zeros((l, d), pdt)},
+        "wq": {"kernel": tn(bk[0], (l, d, d)), "bias": jnp.zeros((l, d), pdt)},
+        "wk": {"kernel": tn(bk[1], (l, d, d)), "bias": jnp.zeros((l, d), pdt)},
+        "wv": {"kernel": tn(bk[2], (l, d, d)), "bias": jnp.zeros((l, d), pdt)},
+        "wo": {"kernel": tn(bk[3], (l, d, d)), "bias": jnp.zeros((l, d), pdt)},
+        "mlp_in": {"kernel": tn(bk[4], (l, d, cfg.mlp_dim)),
+                   "bias": jnp.zeros((l, cfg.mlp_dim), pdt)},
+        "mlp_out": {"kernel": tn(bk[5], (l, cfg.mlp_dim, d)),
+                    "bias": jnp.zeros((l, d), pdt)},
+    }
+    return {
+        "patch_embed": {"kernel": tn(next(keys), (patch_dim, d)),
+                        "bias": jnp.zeros((d,), pdt)},
+        "cls_token": tn(next(keys), (1, 1, d)),
+        "pos_embed": tn(next(keys), (1, cfg.seq_len, d)),
+        "blocks": blocks,
+        "final_ln": {"scale": jnp.ones((d,), pdt), "bias": jnp.zeros((d,), pdt)},
+        "head": {"kernel": tn(next(keys), (d, cfg.num_classes)),
+                 "bias": jnp.zeros((cfg.num_classes,), pdt)},
+    }
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
+               eps: float) -> jax.Array:
+    """LayerNorm in f32 (bf16 inputs are upcast; HF eps 1e-12)."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(dtype)
+
+
+def _linear(x, p):
+    return jnp.dot(x, p["kernel"]) + p["bias"]
+
+
+def patchify(images: jax.Array, patch: int) -> jax.Array:
+    """NHWC [B, H, W, 3] → [B, N, patch*patch*3].
+
+    Per-patch flatten order is (row-in-patch, col-in-patch, channel),
+    matching the conv-kernel permutation used by the HF weight importer.
+    """
+    b, h, w, c = images.shape
+    nh, nw = h // patch, w // patch
+    x = images.reshape(b, nh, patch, nw, patch, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)              # [B, nh, nw, p, p, c]
+    return x.reshape(b, nh * nw, patch * patch * c)
+
+
+def embed(params: Params, images: jax.Array, cfg: ModelConfig,
+          compute_dtype: jnp.dtype) -> jax.Array:
+    """Patch-embed + CLS + learned position embeddings (HF ViTEmbeddings)."""
+    patches = patchify(images.astype(compute_dtype), cfg.patch_size)
+    pe = params["patch_embed"]
+    x = jnp.dot(patches, pe["kernel"].astype(compute_dtype))
+    x = x + pe["bias"].astype(compute_dtype)
+    b = x.shape[0]
+    cls = jnp.broadcast_to(params["cls_token"].astype(compute_dtype),
+                           (b, 1, cfg.hidden_size))
+    x = jnp.concatenate([cls, x], axis=1)
+    return x + params["pos_embed"].astype(compute_dtype)
+
+
+def _mha(x: jax.Array, bp: Params, cfg: ModelConfig,
+         attn_impl: str, return_probs: bool = False):
+    """Multi-head attention, pre-LN input already applied."""
+    b, s, d = x.shape
+    h, hd = cfg.num_heads, cfg.head_dim
+
+    def heads(t):
+        return t.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+
+    q = heads(_linear(x, bp["wq"]))
+    k = heads(_linear(x, bp["wk"]))
+    v = heads(_linear(x, bp["wv"]))
+    probs = None
+    if return_probs:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) / (hd ** 0.5)
+        probs = jax.nn.softmax(scores, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+    else:
+        o = attention(q, k, v, impl=attn_impl)
+    o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
+    return _linear(o, bp["wo"]), probs
+
+
+def _block(x: jax.Array, bp: Params, cfg: ModelConfig, attn_impl: str,
+           dropout_rng: Optional[jax.Array], train: bool):
+    """One pre-LN encoder block (HF ViTLayer):
+    x += MHA(LN1(x)); x += MLP(LN2(x)) with erf GELU."""
+    eps = cfg.layernorm_eps
+    a_in = layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"], eps)
+    attn_out, _ = _mha(a_in, bp, cfg, attn_impl)
+    attn_out = _dropout(attn_out, cfg.hidden_dropout, dropout_rng, train, 0)
+    x = x + attn_out
+    m_in = layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"], eps)
+    hmid = jax.nn.gelu(_linear(m_in, bp["mlp_in"]), approximate=False)
+    mlp_out = _linear(hmid, bp["mlp_out"])
+    mlp_out = _dropout(mlp_out, cfg.hidden_dropout, dropout_rng, train, 1)
+    return x + mlp_out
+
+
+def _dropout(x, rate, rng, train, salt):
+    if not train or rate == 0.0 or rng is None:
+        return x
+    key = jax.random.fold_in(rng, salt)
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def apply(params: Params, images: jax.Array, cfg: ModelConfig, *,
+          train: bool = False, rng: Optional[jax.Array] = None,
+          return_features: bool = False) -> jax.Array:
+    """Forward pass.
+
+    Args:
+      images: NHWC f32/bf16 [B, img, img, 3] (use :func:`nchw_to_nhwc` for
+        torch-layout inputs).
+      train: enables dropout (reference fine-tune runs with 0.0 rates).
+      return_features: also return the final-LN CLS features.
+
+    Returns logits f32 [B, num_classes] (and features if requested).
+    """
+    compute_dtype = jnp.dtype(cfg.dtype)
+    cast = lambda p: jax.tree.map(lambda a: a.astype(compute_dtype), p)
+
+    x = embed(params, images, cfg, compute_dtype)
+
+    blocks = cast(params["blocks"])
+
+    def scan_body(carry, layer_params):
+        x, key = carry
+        key, sub = (jax.random.split(key) if key is not None else (None, None))
+        y = _block(x, layer_params, cfg, cfg.attention_impl, sub, train)
+        return (y, key), None
+
+    body = scan_body
+    if cfg.remat:
+        body = jax.checkpoint(scan_body, prevent_cse=False)
+    (x, _), _ = jax.lax.scan(body, (x, rng), blocks)
+
+    fl = params["final_ln"]
+    x = layer_norm(x, fl["scale"], fl["bias"], cfg.layernorm_eps)
+    cls_features = x[:, 0, :]
+    head = params["head"]
+    logits = (jnp.dot(cls_features.astype(jnp.float32),
+                      head["kernel"].astype(jnp.float32))
+              + head["bias"].astype(jnp.float32))
+    if return_features:
+        return logits, cls_features
+    return logits
+
+
+def apply_with_attention(params: Params, images: jax.Array,
+                         cfg: ModelConfig) -> Tuple[jax.Array, jax.Array]:
+    """Forward pass that also returns per-layer attention probabilities
+    [L, B, H, S, S] for attention-rollout map extraction (serving path,
+    BASELINE.json configs[3]). Uses the unfused XLA attention since the
+    probabilities themselves are the product."""
+    compute_dtype = jnp.dtype(cfg.dtype)
+    x = embed(params, images, cfg, compute_dtype)
+    unstacked = [
+        jax.tree.map(lambda a, i=i: a[i].astype(compute_dtype),
+                     params["blocks"])
+        for i in range(cfg.num_layers)
+    ]
+    all_probs = []
+    for bp in unstacked:
+        a_in = layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"],
+                          cfg.layernorm_eps)
+        attn_out, probs = _mha(a_in, bp, cfg, "xla", return_probs=True)
+        all_probs.append(probs)
+        x = x + attn_out
+        m_in = layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
+                          cfg.layernorm_eps)
+        x = x + _linear(jax.nn.gelu(_linear(m_in, bp["mlp_in"]),
+                                    approximate=False), bp["mlp_out"])
+    fl = params["final_ln"]
+    x = layer_norm(x, fl["scale"], fl["bias"], cfg.layernorm_eps)
+    head = params["head"]
+    logits = (jnp.dot(x[:, 0, :].astype(jnp.float32),
+                      head["kernel"].astype(jnp.float32))
+              + head["bias"].astype(jnp.float32))
+    return logits, jnp.stack(all_probs)
+
+
+def nchw_to_nhwc(x: jax.Array) -> jax.Array:
+    return jnp.transpose(x, (0, 2, 3, 1))
+
+
+def num_params(params: Params) -> int:
+    return sum(int(a.size) for a in jax.tree.leaves(params))

@@ -1,0 +1,282 @@
+"""Pallas TPU flash attention, forward + backward.
+
+The reference delegates attention to HF ``ViTForImageClassification``'s torch
+SDPA (/root/reference/ViT-Training.py:83; pyc L381). Rebuilt TPU-native: a
+fused Pallas kernel that never materializes the [B, H, S, S] score tensor in
+HBM — scores, masking, softmax and the value contraction all happen in VMEM.
+For ViT-B @384 (S = 577) a per-layer bf16 score tensor at batch 8 is ~64 MB
+of HBM traffic each way; this kernel removes it entirely.
+
+Design notes (ViT sequence lengths are short — 577 @384, 1025 @512):
+- K and V for one (batch, head) fit comfortably in VMEM (≤ 1152×64×4 B
+  = 288 KB), so the kernel blocks over Q only and computes an *exact*
+  softmax per Q block — no online-softmax rescaling passes needed. This is
+  the blocked/windowed variant that BASELINE.json configs[4] calls for.
+- Sequence lengths are padded to a multiple of the 128-lane Q block; padded
+  key columns are masked to -inf before the softmax (non-power-of-two token
+  counts, SURVEY.md §7 hard part 2).
+- All math is f32 on the MXU regardless of input dtype (bf16 in / bf16 out).
+- The backward kernel recomputes the probability matrix from the saved
+  logsumexp and accumulates dK/dV across sequential Q-block grid steps in
+  VMEM (grid iteration over Q blocks is 'arbitrary', i.e. sequential, so
+  read-modify-write on the revisited output block is safe).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 128
+_NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    """Pallas kernels run compiled on TPU, interpreted elsewhere (tests)."""
+    return jax.default_backend() != "tpu"
+
+
+def _pad_len(s: int, block: int) -> int:
+    return ((s + block - 1) // block) * block
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, seq_len: int,
+                sm_scale: float):
+    q = q_ref[0].astype(jnp.float32)              # [bq, d]
+    k = k_ref[0].astype(jnp.float32)              # [S_pad, d]
+    v = v_ref[0].astype(jnp.float32)              # [S_pad, d]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale                                   # [bq, S_pad]
+
+    s_pad = k.shape[0]
+    if seq_len < s_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < seq_len, s, _NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)         # [bq, 1]
+    p = jnp.exp(s - m)                             # [bq, S_pad]
+    l = jnp.sum(p, axis=-1, keepdims=True)         # [bq, 1]
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32) / l
+    o_ref[0] = o.astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l)).astype(jnp.float32)  # [bq, 1]
+
+
+def _fwd(q: jax.Array, k: jax.Array, v: jax.Array, seq_len: int,
+         sm_scale: float, block_q: int) -> Tuple[jax.Array, jax.Array]:
+    bh, s_pad, d = q.shape
+    n_q = s_pad // block_q
+    grid = (bh, n_q)
+    kernel = functools.partial(_fwd_kernel, seq_len=seq_len,
+                               sm_scale=sm_scale)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, d), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, s_pad, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * s_pad * s_pad * d,
+            bytes_accessed=bh * s_pad * d * 3 * q.dtype.itemsize,
+            transcendentals=bh * s_pad * s_pad,
+        ),
+        interpret=_interpret(),
+    )(q, k, v)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                dq_ref, dk_ref, dv_ref, *, seq_len: int, sm_scale: float):
+    qi = pl.program_id(1)
+
+    q = q_ref[0].astype(jnp.float32)               # [bq, d]
+    k = k_ref[0].astype(jnp.float32)               # [S_pad, d]
+    v = v_ref[0].astype(jnp.float32)               # [S_pad, d]
+    do = do_ref[0].astype(jnp.float32)             # [bq, d]
+    o = o_ref[0].astype(jnp.float32)               # [bq, d]
+    lse = lse_ref[0]                               # [bq, 1] f32
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale                                   # [bq, S_pad]
+    s_pad = k.shape[0]
+    if seq_len < s_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < seq_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)                           # [bq, S_pad]
+
+    # dV += Pᵀ dO
+    dv_part = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # [S_pad, d]
+    # dP = dO Vᵀ ; delta = rowsum(dO ∘ O)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # [bq, S_pad]
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)  # [bq, 1]
+    ds = p * (dp - delta) * sm_scale               # [bq, S_pad]
+
+    dq_ref[0] = jnp.dot(ds, k, preferred_element_type=jnp.float32
+                        ).astype(dq_ref.dtype)
+    dk_part = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # [S_pad, d]
+
+    # Sequential accumulation over Q blocks into the revisited dK/dV block.
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += dk_part.astype(dk_ref.dtype)
+    dv_ref[0] += dv_part.astype(dv_ref.dtype)
+
+
+def _bwd(q, k, v, do, o, lse, seq_len: int, sm_scale: float, block_q: int):
+    bh, s_pad, d = q.shape
+    n_q = s_pad // block_q
+    grid = (bh, n_q)
+    kernel = functools.partial(_bwd_kernel, seq_len=seq_len,
+                               sm_scale=sm_scale)
+    qspec = pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, s_pad, d), lambda b, i: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[qspec, kvspec, kvspec, qspec, qspec,
+                  pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[qspec, kvspec, kvspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
+            # f32 accumulators for dK/dV regardless of input dtype
+            jax.ShapeDtypeStruct((bh, s_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, s_pad, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * s_pad * s_pad * d,
+            bytes_accessed=bh * s_pad * d * 6 * q.dtype.itemsize,
+            transcendentals=bh * s_pad * s_pad,
+        ),
+        interpret=_interpret(),
+    )(q, k, v, do, o, lse)
+    return dq, dk.astype(q.dtype), dv.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Public API with custom VJP
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    sm_scale: float | None = None,
+                    block_q: int = DEFAULT_BLOCK_Q) -> jax.Array:
+    """Fused multi-head attention: softmax(QKᵀ·scale)·V.
+
+    Args:
+      q, k, v: [batch, heads, seq, head_dim] (any float dtype; math is f32).
+      sm_scale: score scale; default 1/sqrt(head_dim) (HF ViT semantics).
+      block_q: Q-block rows per grid step (lane-aligned, default 128).
+
+    Returns [batch, heads, seq, head_dim] in q's dtype.
+    """
+    out, _ = _flash_fwd_rule(q, k, v, sm_scale, block_q)
+    return out
+
+
+def _prep(x: jax.Array, s_pad: int) -> jax.Array:
+    b, h, s, d = x.shape
+    x = x.reshape(b * h, s, d)
+    if s != s_pad:
+        x = jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+    return x
+
+
+def _flash_fwd_rule(q, k, v, sm_scale, block_q):
+    b, h, s, d = q.shape
+    scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+    s_pad = _pad_len(s, block_q)
+    qp, kp, vp = (_prep(x, s_pad) for x in (q, k, v))
+    out, lse = _fwd(qp, kp, vp, s, scale, block_q)
+    o = out[:, :s, :].reshape(b, h, s, d)
+    return o, (qp, kp, vp, out, lse, (b, h, s, d))
+
+
+def _flash_bwd_rule(sm_scale, block_q, res, g):
+    qp, kp, vp, out, lse, (b, h, s, d) = res
+    scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+    s_pad = qp.shape[1]
+    gp = _prep(g.astype(qp.dtype), s_pad)
+    dq, dk, dv = _bwd(qp, kp, vp, gp, out, lse, s, scale, block_q)
+    unprep = lambda x: x[:, :s, :].reshape(b, h, s, d)
+    return unprep(dq), unprep(dk), unprep(dv)
+
+
+flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# XLA reference implementation (CPU fallback + oracle for kernel tests)
+# ---------------------------------------------------------------------------
+
+def attention_xla(q: jax.Array, k: jax.Array, v: jax.Array,
+                  sm_scale: float | None = None) -> jax.Array:
+    """Plain XLA attention with f32 softmax; numerically the oracle for
+    :func:`flash_attention` and the dispatch target off-TPU."""
+    d = q.shape[-1]
+    scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def attention(q: jax.Array, k: jax.Array, v: jax.Array,
+              impl: str = "auto") -> jax.Array:
+    """Dispatch: Pallas kernel on TPU, XLA elsewhere (or forced)."""
+    if impl == "pallas" or (impl == "auto" and jax.default_backend() == "tpu"):
+        return flash_attention(q, k, v)
+    return attention_xla(q, k, v)

@@ -1,0 +1,84 @@
+"""Flash-attention kernel tests against the XLA oracle (interpret mode on
+CPU; the same kernel compiles on TPU). SURVEY.md §7 hard part 2: correctness
+at non-power-of-two sequence lengths (577/1025) via padding + masking."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chestxray_vit_tpu.ops.flash_attention import (
+    attention,
+    attention_xla,
+    flash_attention,
+)
+
+
+def _qkv(rng, b=1, h=2, s=137, d=64, dtype=jnp.float32):
+    q, k, v = (jnp.asarray(rng.standard_normal((b, h, s, d)), dtype)
+               for _ in range(3))
+    return q, k, v
+
+
+@pytest.mark.parametrize("s", [64, 128, 137, 256])
+def test_forward_matches_xla(rng, s):
+    q, k, v = _qkv(rng, s=s)
+    out = flash_attention(q, k, v)
+    ref = attention_xla(q, k, v)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_forward_nonsquare_blocks_vit_like(rng):
+    # 577-token-style odd length, scaled down for interpreter speed
+    q, k, v = _qkv(rng, b=2, h=3, s=129, d=64)
+    out = flash_attention(q, k, v, None, 128)
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_backward_matches_xla(rng):
+    q, k, v = _qkv(rng, b=1, h=2, s=130, d=64)
+    g = jnp.asarray(rng.standard_normal(q.shape), jnp.float32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) * g)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_xla(q, k, v) * g)
+
+    dq, dk, dv = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    rq, rk, rv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=1e-4, rtol=1e-4)
+
+
+def test_bf16_inputs_f32_math(rng):
+    q, k, v = _qkv(rng, s=96, dtype=jnp.bfloat16)
+    out = flash_attention(q, k, v)
+    assert out.dtype == jnp.bfloat16
+    ref = attention_xla(q.astype(jnp.float32), k.astype(jnp.float32),
+                        v.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               np.asarray(ref), atol=3e-2, rtol=3e-2)
+
+
+def test_dispatch_uses_xla_on_cpu(rng):
+    q, k, v = _qkv(rng, s=64)
+    np.testing.assert_allclose(np.asarray(attention(q, k, v, impl="auto")),
+                               np.asarray(attention_xla(q, k, v)),
+                               atol=1e-6)
+
+
+def test_jit_and_grad_under_jit(rng):
+    q, k, v = _qkv(rng, s=100)
+
+    @jax.jit
+    def f(q, k, v):
+        return jax.grad(lambda q: jnp.sum(flash_attention(q, k, v)))(q)
+
+    out = f(q, k, v)
+    assert out.shape == q.shape and bool(jnp.isfinite(out).all())

@@ -1,0 +1,98 @@
+"""Logit-parity gate vs HF torch ViT (SURVEY.md §7 hard part 1).
+
+Constructs torch ``ViTForImageClassification`` offline (random init — no hub
+access needed), imports its state dict through
+``params_from_hf_state_dict``, and requires near-bit f32 logit agreement on
+fixed inputs. Covers erf-GELU, LayerNorm eps 1e-12, conv-vs-matmul
+patch-embed numerics, residual structure, and CLS-head extraction."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp  # noqa: E402
+
+from chestxray_vit_tpu.config import ModelConfig  # noqa: E402
+from chestxray_vit_tpu.models import vit  # noqa: E402
+from chestxray_vit_tpu.models.import_hf import params_from_hf_state_dict  # noqa: E402
+
+
+def _make_pair(cfg: ModelConfig):
+    hf_cfg = transformers.ViTConfig(
+        image_size=cfg.img_size,
+        patch_size=cfg.patch_size,
+        hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        intermediate_size=cfg.mlp_dim,
+        num_labels=cfg.num_classes,
+    )
+    torch.manual_seed(0)
+    model = transformers.ViTForImageClassification(hf_cfg).eval()
+    params = params_from_hf_state_dict(model.state_dict(), cfg)
+    return model, params
+
+
+def _compare(cfg: ModelConfig, batch: int, atol: float):
+    model, params = _make_pair(cfg)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(
+        (batch, 3, cfg.img_size, cfg.img_size)).astype(np.float32)
+    with torch.no_grad():
+        ref = model(pixel_values=torch.from_numpy(x)).logits.numpy()
+    ours = vit.apply(params, vit.nchw_to_nhwc(jnp.asarray(x)), cfg)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=atol, rtol=1e-4)
+
+
+def test_parity_small_vit():
+    cfg = ModelConfig(img_size=32, patch_size=16, hidden_size=64,
+                      num_layers=3, num_heads=4, mlp_dim=128,
+                      num_classes=5, dtype="float32",
+                      attention_impl="xla")
+    _compare(cfg, batch=4, atol=2e-5)
+
+
+def test_parity_vit_base_384():
+    """The real gate: full ViT-B/16 @384 (86M params, 577 tokens)."""
+    cfg = ModelConfig(num_classes=15, dtype="float32", attention_impl="xla")
+    _compare(cfg, batch=1, atol=1e-4)
+
+
+def test_parity_param_count_matches_torch():
+    cfg = ModelConfig(num_classes=15, dtype="float32")
+    model, params = _make_pair(cfg)
+    n_torch = sum(p.numel() for p in model.parameters())
+    assert vit.num_params(params) == n_torch
+
+
+def test_remat_and_scan_same_logits():
+    cfg = ModelConfig(img_size=32, patch_size=16, hidden_size=64,
+                      num_layers=2, num_heads=4, mlp_dim=128,
+                      num_classes=3, dtype="float32", attention_impl="xla")
+    import jax
+    params = vit.init_params(jax.random.key(0), cfg)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 32, 32, 3)), jnp.float32)
+    base = vit.apply(params, x, cfg)
+    cfg_remat = ModelConfig(**{**cfg.__dict__, "remat": True})
+    np.testing.assert_allclose(np.asarray(vit.apply(params, x, cfg_remat)),
+                               np.asarray(base), atol=1e-6)
+
+
+def test_attention_rollout_path_consistent():
+    cfg = ModelConfig(img_size=32, patch_size=16, hidden_size=64,
+                      num_layers=2, num_heads=4, mlp_dim=128,
+                      num_classes=3, dtype="float32", attention_impl="xla")
+    import jax
+    params = vit.init_params(jax.random.key(1), cfg)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, 32, 32, 3)), jnp.float32)
+    logits, probs = vit.apply_with_attention(params, x, cfg)
+    np.testing.assert_allclose(np.asarray(logits),
+                               np.asarray(vit.apply(params, x, cfg)),
+                               atol=1e-5)
+    assert probs.shape == (2, 2, 4, cfg.seq_len, cfg.seq_len)
+    # attention rows are probability distributions
+    np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
