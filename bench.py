@@ -1,0 +1,75 @@
+"""Headline benchmark: ViT-B/16 @384 fine-tune throughput (images/sec/chip).
+
+Runs the full jitted train step (forward + backward + AdamW, bf16 activations,
+Pallas flash attention) on whatever devices JAX exposes and prints ONE JSON
+line. The reference (torch_xla HF Trainer, SURVEY.md §6) publishes no
+numbers; BASELINE.json's north-star is ≥3× the torch-xla reference's
+images/sec/chip. ``vs_baseline`` reports against a fixed torch-xla
+per-chip estimate measured once on this hardware class (see BENCH_NOTES.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from chestxray_vit_tpu.config import Config, ModelConfig, TrainConfig
+    from chestxray_vit_tpu.models import vit
+    from chestxray_vit_tpu.parallel import mesh as mesh_lib
+    from chestxray_vit_tpu.train import steps as S
+
+    n_chips = len(jax.devices())
+    batch_per_chip = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    cfg = Config(model=ModelConfig(num_classes=15), train=TrainConfig())
+
+    mesh = mesh_lib.build_mesh()
+    params = vit.init_params(jax.random.key(0), cfg.model)
+    state = S.TrainState.create(params, seed=42)
+    step = S.jit_train_step(S.make_train_step(cfg, total_steps=10_000),
+                            mesh, state)
+    state = S.place_state(state, mesh)
+
+    rng = np.random.default_rng(0)
+    b = batch_per_chip * n_chips
+    batch = mesh_lib.shard_batch(mesh, {
+        "pixel_values": jnp.asarray(
+            rng.standard_normal((b, 384, 384, 3)), jnp.float32),
+        "labels": jnp.asarray((rng.random((b, 15)) < 0.2), jnp.float32),
+    })
+
+    # compile + warmup. NOTE: sync via a scalar host transfer each step —
+    # on this machine's tunneled PJRT platform, block_until_ready returns
+    # without waiting and deeply-enqueued async chains execute pathologically
+    # slowly, so per-step sync is both the only honest timing and the fast
+    # execution mode (see BENCH_NOTES.md).
+    for _ in range(3):
+        state, m = step(state, batch)
+        float(m["loss"])
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch)
+        float(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+
+    img_per_sec_chip = b / dt / n_chips
+    # torch-xla HF-Trainer ViT-B@384 bf16 per-chip throughput estimate for
+    # this hardware class (fwd+bwd+AdamW, batch 8/core) — see BENCH_NOTES.md.
+    torch_xla_baseline = 60.0
+    print(json.dumps({
+        "metric": "images/sec/chip (ViT-B/16 @384 fine-tune step, bf16)",
+        "value": round(img_per_sec_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec_chip / torch_xla_baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,191 @@
+"""Evaluation metrics: on-device per-class AUROC + micro-F1, host report.
+
+Reference semantics being matched:
+- ``compute_metrics_fn`` (pyc L320-L355): sigmoid(logits) → per-class
+  ``roc_auc_score``; a class whose label column is constant yields NaN and is
+  excluded; ``avg_auroc`` = mean over valid classes, 0.0 when none valid.
+- Version A ``compute_metrics`` (/root/reference/ViT-Training.py:112-118):
+  sigmoid → threshold 0.5 → micro-F1 with zero_division=0.
+- Version A final report (ViT-Training.py:135-149): sklearn
+  ``classification_report`` written to a text file.
+
+The AUROC here is sort-based (Mann-Whitney U with midrank tie handling —
+exactly sklearn's trapezoid AUC) and runs fully on device, vmapped over
+classes; no sklearn in the hot path. SURVEY.md §7 hard part 4.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# On-device AUROC (sort-based, tie-aware)
+# ---------------------------------------------------------------------------
+
+def _auroc_single(scores: jax.Array, labels: jax.Array) -> jax.Array:
+    """AUROC for one class via the rank-sum identity with midranks.
+
+    AUC = (Σ ranks(positives) − n⁺(n⁺+1)/2) / (n⁺ n⁻), ranks 1-based with
+    tied scores sharing their average rank — equivalent to sklearn's
+    trapezoidal ``roc_auc_score``. Returns NaN for degenerate columns
+    (reference skips them, pyc L334-L344)."""
+    scores = scores.astype(jnp.float32)
+    labels = labels.astype(jnp.float32)
+    n = scores.shape[0]
+    order = jnp.argsort(scores)
+    sorted_scores = scores[order]
+    # midranks via binary search over the sorted copy: for score s,
+    # rank = (left_index + right_index + 1) / 2 + 0.5  (1-based average)
+    lo = jnp.searchsorted(sorted_scores, scores, side="left")
+    hi = jnp.searchsorted(sorted_scores, scores, side="right")
+    ranks = (lo + hi + 1).astype(jnp.float32) / 2.0  # 1-based midranks
+    n_pos = jnp.sum(labels)
+    n_neg = n - n_pos
+    rank_sum = jnp.sum(ranks * labels)
+    auc = (rank_sum - n_pos * (n_pos + 1.0) / 2.0) / (n_pos * n_neg)
+    degenerate = jnp.logical_or(n_pos == 0, n_neg == 0)
+    return jnp.where(degenerate, jnp.nan, auc)
+
+
+@jax.jit
+def auroc_per_class(scores: jax.Array, labels: jax.Array) -> jax.Array:
+    """[N, C] scores (any monotone of probability — logits work) and
+    {0,1} labels → [C] AUROCs with NaN for degenerate classes."""
+    return jax.vmap(_auroc_single, in_axes=(1, 1))(scores, labels)
+
+
+@jax.jit
+def avg_auroc(scores: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean AUROC over valid (non-degenerate) classes; 0.0 when none are
+    valid — exact ``compute_metrics_fn`` semantics (pyc L349-L353)."""
+    per_class = auroc_per_class(scores, labels)
+    valid = ~jnp.isnan(per_class)
+    total = jnp.sum(jnp.where(valid, per_class, 0.0))
+    count = jnp.sum(valid)
+    return jnp.where(count > 0, total / count, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Threshold metrics (on device)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def f1_micro(logits: jax.Array, labels: jax.Array,
+             threshold: float = 0.5) -> jax.Array:
+    """sigmoid → ≥threshold → micro-F1, zero_division=0
+    (ViT-Training.py:112-118)."""
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+    pred = (probs >= threshold).astype(jnp.float32)
+    lab = labels.astype(jnp.float32)
+    tp = jnp.sum(pred * lab)
+    fp = jnp.sum(pred * (1.0 - lab))
+    fn = jnp.sum((1.0 - pred) * lab)
+    denom = 2.0 * tp + fp + fn
+    return jnp.where(denom > 0, 2.0 * tp / denom, 0.0)
+
+
+@jax.jit
+def precision_recall_f1_per_class(logits: jax.Array, labels: jax.Array,
+                                  threshold: float = 0.5):
+    """Per-class (precision, recall, f1, support) with zero_division=0."""
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+    pred = (probs >= threshold).astype(jnp.float32)
+    lab = labels.astype(jnp.float32)
+    tp = jnp.sum(pred * lab, axis=0)
+    fp = jnp.sum(pred * (1.0 - lab), axis=0)
+    fn = jnp.sum((1.0 - pred) * lab, axis=0)
+    safe = lambda num, den: jnp.where(den > 0, num / den, 0.0)
+    precision = safe(tp, tp + fp)
+    recall = safe(tp, tp + fn)
+    f1 = safe(2 * precision * recall, precision + recall)
+    support = jnp.sum(lab, axis=0)
+    return precision, recall, f1, support
+
+
+def compute_metrics(logits: np.ndarray | jax.Array,
+                    labels: np.ndarray | jax.Array,
+                    class_names: Optional[Sequence[str]] = None
+                    ) -> Dict[str, float]:
+    """The rebuild's ``compute_metrics_fn``: avg_auroc + f1_micro together,
+    plus per-class AUROCs keyed by name when names are given."""
+    logits = jnp.asarray(logits)
+    labels = jnp.asarray(labels)
+    per_class = np.asarray(auroc_per_class(logits, labels))
+    out: Dict[str, float] = {
+        "avg_auroc": float(np.asarray(avg_auroc(logits, labels))),
+        "f1_micro": float(np.asarray(f1_micro(logits, labels))),
+    }
+    if class_names is not None:
+        for name, auc in zip(class_names, per_class):
+            out[f"auroc_{name}"] = float(auc)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Host-side classification report (sklearn text-format parity)
+# ---------------------------------------------------------------------------
+
+def classification_report(logits: np.ndarray, labels: np.ndarray,
+                          class_names: Sequence[str],
+                          threshold: float = 0.5) -> str:
+    """sklearn-style multilabel classification report text
+    (ViT-Training.py:145-148 writes this to final_classification_report.txt).
+    Rows: per-class precision/recall/f1/support; footer: micro, macro,
+    weighted and samples averages."""
+    p, r, f1, sup = (np.asarray(x) for x in precision_recall_f1_per_class(
+        jnp.asarray(logits), jnp.asarray(labels), threshold))
+    probs = 1.0 / (1.0 + np.exp(-np.asarray(logits, dtype=np.float64)))
+    pred = (probs >= threshold).astype(np.int64)
+    lab = np.asarray(labels).astype(np.int64)
+
+    name_w = max(len(n) for n in class_names)
+    width = max(name_w, len("weighted avg"))
+    head = f"{'':>{width}}  precision    recall  f1-score   support\n\n"
+    lines = [head]
+    for i, name in enumerate(class_names):
+        lines.append(f"{name:>{width}}  {p[i]:9.2f} {r[i]:9.2f} {f1[i]:9.2f}"
+                     f" {int(sup[i]):9d}\n")
+    lines.append("\n")
+
+    tp = float((pred * lab).sum())
+    fp = float((pred * (1 - lab)).sum())
+    fn = float(((1 - pred) * lab).sum())
+    micro_p = tp / (tp + fp) if tp + fp else 0.0
+    micro_r = tp / (tp + fn) if tp + fn else 0.0
+    micro_f = (2 * micro_p * micro_r / (micro_p + micro_r)
+               if micro_p + micro_r else 0.0)
+    total = int(sup.sum())
+    macro = (p.mean(), r.mean(), f1.mean())
+    wsum = sup.sum() if sup.sum() else 1.0
+    weighted = ((p * sup).sum() / wsum, (r * sup).sum() / wsum,
+                (f1 * sup).sum() / wsum)
+    # samples average (sklearn's 4th footer row for multilabel targets)
+    inter = (pred & lab).sum(1).astype(np.float64)
+    psz = pred.sum(1).astype(np.float64)
+    lsz = lab.sum(1).astype(np.float64)
+    sp = np.where(psz > 0, inter / np.maximum(psz, 1), 0.0)
+    sr = np.where(lsz > 0, inter / np.maximum(lsz, 1), 0.0)
+    sf = np.where(sp + sr > 0, 2 * sp * sr / np.maximum(sp + sr, 1e-12), 0.0)
+
+    for tag, (pp, rr, ff) in (("micro avg", (micro_p, micro_r, micro_f)),
+                              ("macro avg", macro),
+                              ("weighted avg", weighted),
+                              ("samples avg", (sp.mean(), sr.mean(),
+                                               sf.mean()))):
+        lines.append(f"{tag:>{width}}  {pp:9.2f} {rr:9.2f} {ff:9.2f}"
+                     f" {total:9d}\n")
+    return "".join(lines)
+
+
+def write_classification_report(path: str, logits: np.ndarray,
+                                labels: np.ndarray,
+                                class_names: Sequence[str]) -> str:
+    text = classification_report(logits, labels, class_names)
+    with open(path, "w") as f:
+        f.write(text)
+    return text

@@ -1,0 +1,89 @@
+"""Device mesh and sharding layout.
+
+The reference scales with one forked process per TPU core
+(``xmp.spawn``, /root/reference/ViT-Training.py:170; pyc L515) and lets
+torch_xla all-reduce gradients. TPU-native equivalent: a single process with
+one ``jax.sharding.Mesh`` whose ``data`` axis carries the global batch; under
+``jit``, XLA inserts the gradient psum over ICI automatically from the
+shardings. ``fsdp`` and ``tensor`` axes are first-class so larger models can
+shard parameters/activations without touching the step functions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from chestxray_vit_tpu.config import MeshConfig
+
+
+def build_mesh(cfg: Optional[MeshConfig] = None,
+               devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Construct the (data, fsdp, tensor) mesh.
+
+    ``data = -1`` consumes all remaining devices. On a single chip this
+    degenerates to a 1×1×1 mesh and the same step functions still compile —
+    the single-device path the driver benches and the multi-device path are
+    one code path.
+    """
+    cfg = cfg or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    fixed = cfg.fsdp * cfg.tensor
+    data = cfg.data if cfg.data != -1 else n // fixed
+    if data * fixed != n:
+        raise ValueError(
+            f"mesh {data}x{cfg.fsdp}x{cfg.tensor} != {n} devices")
+    arr = np.asarray(devices).reshape(data, cfg.fsdp, cfg.tensor)
+    return Mesh(arr, cfg.axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Global batch split along the data (and fsdp, when used) axes."""
+    return NamedSharding(mesh, P(("data", "fsdp")))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_sharding(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
+    """Sharding tree for parameters.
+
+    Data-parallel parity keeps params replicated. When the mesh has a
+    non-trivial ``fsdp`` axis, the largest matrices (the scanned encoder
+    kernels, [L, in, out]) are sharded on their widest trailing axis; XLA
+    all-gathers them per layer at use and reduce-scatters the grads — the
+    ZeRO-3 pattern expressed purely through shardings.
+    """
+    fsdp = mesh.shape.get("fsdp", 1)
+
+    def rule(leaf):
+        if fsdp > 1 and leaf.ndim >= 2:
+            # shard the largest trailing dim divisible by the axis
+            dims = [None] * leaf.ndim
+            order = sorted(range(1, leaf.ndim),
+                           key=lambda i: leaf.shape[i], reverse=True)
+            for i in order:
+                if leaf.shape[i] % fsdp == 0:
+                    dims[i] = "fsdp"
+                    break
+            return NamedSharding(mesh, P(*dims))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, params)
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch dict onto the mesh, split along the data axis."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def local_batch_to_global(batch_size_per_core: int, mesh: Mesh) -> int:
+    """BATCH_SIZE_PER_CORE × data-parallel world size, matching the
+    reference's effective global batch (8 cores × 8 = 64, SURVEY §6)."""
+    return batch_size_per_core * mesh.shape["data"] * mesh.shape["fsdp"]

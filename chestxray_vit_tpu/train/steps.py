@@ -1,0 +1,165 @@
+"""Jitted train / eval step functions + TrainState.
+
+The reference's hot loop lives inside HF ``Trainer.train()``
+(/root/reference/ViT-Training.py:132; pyc L478): DataLoader → collate →
+forward (ViT, 577 tokens, bf16) → BCEWithLogitsLoss → backward →
+``xm.optimizer_step(AdamW)`` with a torch_xla gradient all-reduce across 8
+cores. Rebuilt TPU-native: one ``jit``-compiled function per step over a
+``Mesh`` — sharded batch in, replicated params in, XLA inserts the ICI psum
+for gradients from the shardings. No lazy-tensor graphs, no per-step retrace.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from chestxray_vit_tpu.config import Config
+from chestxray_vit_tpu.models import vit
+from chestxray_vit_tpu.parallel.mesh import batch_sharding, param_sharding, replicated
+from chestxray_vit_tpu.train import optimizer as opt
+
+Params = Any
+
+
+# ---------------------------------------------------------------------------
+# Loss: multi-label BCE-with-logits (sigmoid folded in, SURVEY §7 step 5)
+# ---------------------------------------------------------------------------
+
+def bce_with_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Numerically-stable BCEWithLogits, mean over all elements — identical
+    reduction to torch.nn.BCEWithLogitsLoss, which HF picks for multi-label
+    heads (ViT-Training.py:89 sets problem_type explicitly; Version B gets it
+    inferred from float multi-hot labels, SURVEY §2.2 loss subtlety)."""
+    x = logits.astype(jnp.float32)
+    z = labels.astype(jnp.float32)
+    per_elem = jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    return jnp.mean(per_elem)
+
+
+# ---------------------------------------------------------------------------
+# Train state
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TrainState:
+    step: jax.Array            # i32 scalar, completed optimizer steps
+    params: Params             # f32 master weights
+    opt_state: Dict[str, Any]  # AdamW moments (f32)
+    rng: jax.Array             # dropout/augmentation key, split per step
+
+    @staticmethod
+    def create(params: Params, seed: int) -> "TrainState":
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=opt.init_opt_state(params),
+            rng=jax.random.key(seed),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Step builders
+# ---------------------------------------------------------------------------
+
+def make_train_step(cfg: Config, total_steps: int
+                    ) -> Callable[[TrainState, Dict[str, jax.Array]],
+                                  Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Build the (unjitted) train step. Callers jit it with shardings via
+    :func:`jit_train_step`."""
+    schedule = opt.SCHEDULES[cfg.train.lr_schedule](
+        cfg.train.learning_rate, total_steps, cfg.train.warmup_steps)
+    adamw_cfg = opt.AdamWConfig(
+        b1=cfg.train.adam_b1, b2=cfg.train.adam_b2, eps=cfg.train.adam_eps,
+        weight_decay=cfg.train.weight_decay,
+        max_grad_norm=cfg.train.max_grad_norm)
+
+    def loss_fn(params: Params, batch: Dict[str, jax.Array],
+                rng: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        logits = vit.apply(params, batch["pixel_values"], cfg.model,
+                           train=True, rng=rng)
+        return bce_with_logits(logits, batch["labels"]), logits
+
+    def train_step(state: TrainState, batch: Dict[str, jax.Array]):
+        rng, step_rng = jax.random.split(state.rng)
+        (loss, _logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, step_rng)
+        grads, grad_norm = opt.clip_by_global_norm(
+            grads, adamw_cfg.max_grad_norm)
+        lr = schedule(state.step)
+        decay_mask = opt.default_decay_mask(state.params)
+        new_params, new_opt = opt.adamw_update(
+            grads, state.opt_state, state.params, state.step, lr,
+            adamw_cfg, decay_mask)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               opt_state=new_opt, rng=rng)
+        metrics = {"loss": loss, "grad_norm": grad_norm, "lr": lr}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: Config) -> Callable[[Params, Dict[str, jax.Array]],
+                                            jax.Array]:
+    """Forward-only step returning f32 logits (gathered to host by the eval
+    loop, like the Trainer's logit all-gather, SURVEY §3.4)."""
+
+    def eval_step(params: Params, batch: Dict[str, jax.Array]) -> jax.Array:
+        return vit.apply(params, batch["pixel_values"], cfg.model,
+                         train=False)
+
+    return eval_step
+
+
+# ---------------------------------------------------------------------------
+# Sharded jit wrappers
+# ---------------------------------------------------------------------------
+
+def _state_shardings(mesh: Mesh, state: TrainState) -> TrainState:
+    ps = param_sharding(mesh, state.params)
+    rep = replicated(mesh)
+    return TrainState(
+        step=rep,
+        params=ps,
+        opt_state={"mu": param_sharding(mesh, state.opt_state["mu"]),
+                   "nu": param_sharding(mesh, state.opt_state["nu"])},
+        rng=rep,
+    )
+
+
+def jit_train_step(train_step, mesh: Mesh, state: TrainState):
+    """jit with explicit shardings: batch split on the data axis, state
+    replicated (or fsdp-sharded). XLA derives the gradient all-reduce."""
+    st_sh = _state_shardings(mesh, state)
+    bt_sh = batch_sharding(mesh)
+    met_sh = replicated(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(st_sh, jax.tree.map(lambda _: bt_sh,
+                                          {"pixel_values": 0, "labels": 0})),
+        out_shardings=(st_sh, jax.tree.map(lambda _: met_sh,
+                                           {"loss": 0, "grad_norm": 0,
+                                            "lr": 0})),
+        donate_argnums=(0,),
+    )
+
+
+def jit_eval_step(eval_step, mesh: Mesh, params: Params):
+    p_sh = param_sharding(mesh, params)
+    bt_sh = batch_sharding(mesh)
+    return jax.jit(
+        eval_step,
+        in_shardings=(p_sh, {"pixel_values": bt_sh, "labels": bt_sh}),
+        out_shardings=batch_sharding(mesh),
+    )
+
+
+def place_state(state: TrainState, mesh: Mesh) -> TrainState:
+    sh = _state_shardings(mesh, state)
+    return jax.tree.map(jax.device_put, state, sh)

@@ -1,0 +1,119 @@
+"""Train/eval step tests on the virtual 8-device CPU mesh: loss decreases,
+BCE matches torch, DP sharding compiles and matches single-device numerics
+(the reference's only parallelism is 8-core DP, SURVEY §2.4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from chestxray_vit_tpu.config import Config, DataConfig, MeshConfig, ModelConfig, TrainConfig
+from chestxray_vit_tpu.models import vit
+from chestxray_vit_tpu.parallel import mesh as mesh_lib
+from chestxray_vit_tpu.train import steps as S
+
+
+def tiny_config(**train_kw) -> Config:
+    return Config(
+        model=ModelConfig(img_size=32, patch_size=16, hidden_size=64,
+                          num_layers=2, num_heads=4, mlp_dim=128,
+                          num_classes=5, dtype="float32",
+                          attention_impl="xla"),
+        train=TrainConfig(batch_size_per_core=2, learning_rate=1e-3,
+                          **train_kw),
+    )
+
+
+def make_batch(rng, n, cfg):
+    return {
+        "pixel_values": jnp.asarray(
+            rng.standard_normal((n, cfg.model.img_size, cfg.model.img_size, 3)),
+            jnp.float32),
+        "labels": jnp.asarray(
+            (rng.random((n, cfg.model.num_classes)) < 0.3), jnp.float32),
+    }
+
+
+def test_bce_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    logits = rng.standard_normal((8, 15)).astype(np.float32)
+    labels = (rng.random((8, 15)) < 0.3).astype(np.float32)
+    ref = torch.nn.BCEWithLogitsLoss()(torch.from_numpy(logits),
+                                       torch.from_numpy(labels)).item()
+    ours = float(S.bce_with_logits(jnp.asarray(logits), jnp.asarray(labels)))
+    assert ours == pytest.approx(ref, abs=1e-6)
+
+
+def test_loss_decreases_single_device(rng):
+    cfg = tiny_config()
+    params = vit.init_params(jax.random.key(0), cfg.model)
+    state = S.TrainState.create(params, seed=0)
+    step = jax.jit(S.make_train_step(cfg, total_steps=100))
+    batch = make_batch(rng, 8, cfg)
+    losses = []
+    for _ in range(20):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses
+    assert int(state.step) == 20
+    assert np.isfinite(losses).all()
+
+
+def test_dp_mesh_8_devices_compiles_and_matches(rng):
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    cfg = tiny_config()
+    mesh = mesh_lib.build_mesh(MeshConfig())
+    assert mesh.shape["data"] == 8
+
+    params = vit.init_params(jax.random.key(0), cfg.model)
+    state = S.TrainState.create(params, seed=0)
+    batch = make_batch(rng, 16, cfg)  # 2 per device
+
+    # single-device oracle
+    state_1 = jax.tree.map(lambda x: x, state)
+    step_1 = jax.jit(S.make_train_step(cfg, total_steps=100))
+    ref_state, ref_m = step_1(state_1, batch)
+
+    # 8-way DP
+    step_8 = S.jit_train_step(S.make_train_step(cfg, total_steps=100),
+                              mesh, state)
+    st = S.place_state(state, mesh)
+    sharded = mesh_lib.shard_batch(mesh, batch)
+    new_state, m = step_8(st, sharded)
+
+    np.testing.assert_allclose(float(m["loss"]), float(ref_m["loss"]),
+                               atol=1e-5)
+    # parameters after one step agree between DP=1 and DP=8
+    for a, b in zip(jax.tree.leaves(new_state.params),
+                    jax.tree.leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_eval_step_sharded(rng):
+    cfg = tiny_config()
+    mesh = mesh_lib.build_mesh(MeshConfig())
+    params = vit.init_params(jax.random.key(1), cfg.model)
+    batch = make_batch(rng, 16, cfg)
+    ev = S.jit_eval_step(S.make_eval_step(cfg), mesh, params)
+    logits = ev(params, mesh_lib.shard_batch(mesh, batch))
+    assert logits.shape == (16, 5)
+    ref = vit.apply(params, batch["pixel_values"], cfg.model)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref), atol=1e-5)
+
+
+def test_fsdp_mesh_sharding(rng):
+    """fsdp axis shards the big scanned kernels; step still runs."""
+    cfg = tiny_config()
+    mesh = mesh_lib.build_mesh(MeshConfig(data=2, fsdp=4, tensor=1))
+    params = vit.init_params(jax.random.key(0), cfg.model)
+    sh = mesh_lib.param_sharding(mesh, params)
+    mlp_sh = sh["blocks"]["mlp_in"]["kernel"]
+    assert "fsdp" in str(mlp_sh.spec)
+    state = S.TrainState.create(params, seed=0)
+    step = S.jit_train_step(S.make_train_step(cfg, total_steps=10),
+                            mesh, state)
+    st = S.place_state(state, mesh)
+    batch = mesh_lib.shard_batch(mesh, make_batch(rng, 16, cfg))
+    new_state, m = step(st, batch)
+    assert np.isfinite(float(m["loss"]))
