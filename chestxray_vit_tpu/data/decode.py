@@ -1,0 +1,117 @@
+"""Image decode stage: bytes → u8 grayscale array.
+
+The reference decodes with PIL inside ``__getitem__``
+(``Image.open(io.BytesIO(...)).convert('L')``, pyc L279) and substitutes a
+black 384×384 dummy on any failure (pyc L281-L286) so a 4-epoch run survives
+bad blobs. Same contract here, with two engines:
+
+- the owned C++ decoder (native/decode/libcxrdecode.so — libpng/libjpeg +
+  worker threads, built by ``make -C native/decode``) when present,
+- PIL otherwise.
+
+Both produce identical luminance output (ITU-R 601-2 'L' conversion for RGB
+inputs, as PIL does); tests cross-check them pixel-exactly.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import io
+import os
+import threading
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native", "decode", "libcxrdecode.so")
+
+_native_lock = threading.Lock()
+_native_lib: Optional[ctypes.CDLL] = None
+_native_checked = False
+
+
+def _load_native() -> Optional[ctypes.CDLL]:
+    """Load the C++ decoder once; None when it isn't built."""
+    global _native_lib, _native_checked
+    with _native_lock:
+        if _native_checked:
+            return _native_lib
+        _native_checked = True
+        if not os.path.exists(_NATIVE_PATH):
+            return None
+        try:
+            lib = ctypes.CDLL(_NATIVE_PATH)
+            lib.cxr_decode_gray.restype = ctypes.c_int
+            lib.cxr_decode_gray.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,          # input bytes
+                ctypes.POINTER(ctypes.c_ubyte),            # output buffer
+                ctypes.c_int, ctypes.c_int,                # buffer H, W
+                ctypes.POINTER(ctypes.c_int),              # out H
+                ctypes.POINTER(ctypes.c_int),              # out W
+            ]
+            _native_lib = lib
+        except OSError as e:                               # noqa: PERF203
+            print(f"[decode] native decoder unavailable: {e}")
+            _native_lib = None
+        return _native_lib
+
+
+def native_available() -> bool:
+    return _load_native() is not None
+
+
+def decode_gray_pil(data: bytes) -> np.ndarray:
+    """PIL engine: any format PIL reads → u8 grayscale [H, W]."""
+    from PIL import Image
+    with Image.open(io.BytesIO(data)) as img:
+        return np.asarray(img.convert("L"), dtype=np.uint8)
+
+
+def decode_gray_native(data: bytes, max_side: int = 4096
+                       ) -> Optional[np.ndarray]:
+    """C++ engine: PNG/JPEG → u8 grayscale; None on failure or if the
+    library isn't built (callers fall back to PIL)."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    buf = np.empty((max_side, max_side), dtype=np.uint8)
+    out_h = ctypes.c_int(0)
+    out_w = ctypes.c_int(0)
+    rc = lib.cxr_decode_gray(
+        data, len(data),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        max_side, max_side,
+        ctypes.byref(out_h), ctypes.byref(out_w))
+    if rc != 0:
+        return None
+    return buf[:out_h.value, :out_w.value].copy()
+
+
+def decode_gray(data: bytes, prefer_native: bool = True) -> np.ndarray:
+    """Decode to u8 grayscale, native first, PIL fallback. Raises only if
+    both engines fail (callers apply the dummy-image policy)."""
+    if prefer_native:
+        out = decode_gray_native(data)
+        if out is not None:
+            return out
+    return decode_gray_pil(data)
+
+
+def dummy_image(size: Tuple[int, int] = (384, 384)) -> np.ndarray:
+    """The reference's failure fallback: a black 'L' image (pyc L283)."""
+    return np.zeros(size, dtype=np.uint8)
+
+
+def safe_decode_gray(data: Optional[bytes],
+                     dummy_size: Tuple[int, int] = (384, 384),
+                     prefer_native: bool = True) -> np.ndarray:
+    """Decode with the reference's degrade-to-dummy policy (pyc L281-L286)."""
+    if data is None:
+        return dummy_image(dummy_size)
+    try:
+        return decode_gray(data, prefer_native=prefer_native)
+    except Exception as e:                                 # noqa: BLE001
+        print(f"[decode] failed ({e}); using dummy image")
+        return dummy_image(dummy_size)

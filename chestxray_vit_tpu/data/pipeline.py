@@ -1,0 +1,288 @@
+"""Host input pipeline: dataset assembly, per-sample loading, threaded
+prefetch, and device staging.
+
+The reference's input path (SURVEY §3.3) is a torch DataLoader whose
+``__getitem__`` does network fetch + PIL decode + transform per sample, with
+a fresh GCS client each time (pyc L265-L305) — network-bound by design.
+Rebuilt: a shared-store thread pool decodes ahead of the step loop into a
+bounded queue, batches are assembled into contiguous arrays, and a device
+prefetcher keeps the next batch in flight while the current step runs.
+
+Two preprocessing placements (cfg.data decides; see ops/preprocess.py):
+- ``host``: decode → crop/pad/resize on host → ship u8 384² grayscale
+  (minimal host→device bytes; normalization happens on-device inside the
+  train step's jit).
+- ``device``: decode onto a fixed u8 canvas → ship canvas + crop box → the
+  fused device op does crop/pad/resize/normalize on the MXU.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from chestxray_vit_tpu.config import Config, DataConfig
+from chestxray_vit_tpu.data import decode as dec
+from chestxray_vit_tpu.data import geometry as geo
+from chestxray_vit_tpu.data import metadata as md
+from chestxray_vit_tpu.data.storage import Store, build_blob_map, open_store
+
+
+# ---------------------------------------------------------------------------
+# Dataset assembly (metadata phase, SURVEY §3.1)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class DatasetBundle:
+    """Everything the trainer needs: splits, vocabulary, blob map, store."""
+    train: md.DatasetIndex
+    val: md.DatasetIndex
+    test: md.DatasetIndex
+    classes: List[str]
+    blob_map: Dict[str, str]
+    store: Store
+
+
+def build_datasets(cfg: DataConfig, store: Optional[Store] = None
+                   ) -> DatasetBundle:
+    """The reference's module-level metadata phase (pyc L102-L181, L218-L239,
+    L407-L431) as one function: CSVs → entries/vocab/bboxes, blob map,
+    official-list or 80/10/10 split, subsetting (val = N//5, pyc L431)."""
+    store = store if store is not None else open_store(cfg)
+
+    entries, vocab = md.parse_data_entry_csv(
+        store.get(cfg.data_entry_csv).decode())
+    try:
+        bboxes = md.parse_bbox_csv(store.get(cfg.bbox_csv).decode())
+    except Exception as e:                               # noqa: BLE001
+        print(f"[pipeline] bbox csv unavailable ({e}); continuing without")
+        bboxes = {}
+    if not cfg.use_bbox_roi:
+        bboxes = {}
+    blob_map = build_blob_map(store, cfg)
+    binarizer = md.LabelBinarizer(vocab)
+
+    if cfg.split_scheme == "official_lists":
+        train_val = md.parse_list_file(store.get(cfg.train_val_list).decode())
+        test = md.parse_list_file(store.get(cfg.test_list).decode())
+        train, val = md.train_test_split(
+            train_val, cfg.val_fraction, cfg.split_seed)
+    elif cfg.split_scheme == "random_80_10_10":
+        all_names = [e.image_index for e in entries]
+        train, val, test = md.split_80_10_10(all_names, cfg.split_seed)
+    else:
+        raise ValueError(f"unknown split_scheme {cfg.split_scheme!r}")
+
+    sub = cfg.use_subset_data
+    return DatasetBundle(
+        train=md.build_dataset_index(entries, train, binarizer, bboxes, sub),
+        val=md.build_dataset_index(entries, val, binarizer, bboxes,
+                                   sub // 5 if sub else None),
+        test=md.build_dataset_index(entries, test, binarizer, bboxes, sub),
+        classes=list(vocab),
+        blob_map=blob_map,
+        store=store,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-sample loading
+# ---------------------------------------------------------------------------
+
+def host_resize(gray: np.ndarray, box: geo.CropBox, out_size: int,
+                stretch: bool = False, flip: bool = False) -> np.ndarray:
+    """Host (PIL) reproduction of the reference chain: crop →
+    centered pad-to-square → bilinear Resize((out, out)) (pyc L289-L296).
+    ``stretch=True`` skips the square padding (RandomResizedCrop path)."""
+    from PIL import Image
+    crop = gray[box.top:box.top + box.height, box.left:box.left + box.width]
+    if stretch:
+        square = crop
+    else:
+        side, left_off, top_off = geo.pad_to_square_offsets(
+            box.width, box.height)
+        square = np.zeros((side, side), np.uint8)
+        square[top_off:top_off + box.height,
+               left_off:left_off + box.width] = crop
+    out = Image.fromarray(square).resize((out_size, out_size),
+                                         Image.BILINEAR)
+    arr = np.asarray(out, dtype=np.uint8)
+    return arr[:, ::-1] if flip else arr
+
+
+@dataclass
+class SampleLoader:
+    """Loads one sample end-to-end (the rebuilt __getitem__, pyc L265-L305)."""
+    index: md.DatasetIndex
+    blob_map: Dict[str, str]
+    store: Store
+    img_size: int = 384
+    placement: str = "host"          # 'host' | 'device'
+    canvas_size: int = 1024
+    augment: bool = False            # Version A train transforms
+    prefer_native_decode: bool = True
+
+    def _fetch(self, name: str) -> Optional[bytes]:
+        blob = self.blob_map.get(name)
+        if blob is None:
+            return None
+        try:
+            return self.store.get(blob)
+        except Exception as e:                           # noqa: BLE001
+            print(f"[pipeline] fetch {name} failed: {e}")
+            return None
+
+    def load(self, i: int, rng: Optional[np.random.Generator] = None
+             ) -> Dict[str, np.ndarray]:
+        name = self.index.filenames[i]
+        labels = self.index.labels[i].astype(np.float32)
+        gray = dec.safe_decode_gray(
+            self._fetch(name), dummy_size=(self.img_size, self.img_size),
+            prefer_native=self.prefer_native_decode)
+        h, w = gray.shape
+
+        flip = False
+        if self.augment and rng is not None:
+            box = geo.sample_random_resized_crop(rng, w, h)
+            flip = bool(rng.random() < 0.5)
+            stretch = True
+        else:
+            box = geo.select_crop(self.index.bbox_for(name), w, h)
+            stretch = False
+
+        if self.placement == "host":
+            img = host_resize(gray, box, self.img_size, stretch, flip)
+            return {"pixel_values_u8": img, "labels": labels}
+
+        # device placement: fixed canvas + crop params
+        c = self.canvas_size
+        canvas = np.zeros((c, c), np.uint8)
+        ch, cw = min(h, c), min(w, c)
+        canvas[:ch, :cw] = gray[:ch, :cw]
+        # re-clamp the crop window into the (possibly clipped) canvas extent
+        left = min(box.left, max(cw - 1, 0))
+        top = min(box.top, max(ch - 1, 0))
+        box = geo.CropBox(left, top,
+                          max(1, min(box.width, cw - left)),
+                          max(1, min(box.height, ch - top)))
+        return {
+            "canvas_u8": canvas,
+            "boxes": np.asarray([box.left, box.top, box.width, box.height],
+                                np.int32),
+            "flips": np.asarray(flip),
+            "labels": labels,
+        }
+
+
+# ---------------------------------------------------------------------------
+# Batched iteration with threaded prefetch
+# ---------------------------------------------------------------------------
+
+def _stack(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """collate_fn parity (pyc L310-L316): stack each field."""
+    return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+
+
+def epoch_order(n: int, epoch: int, seed: int, shuffle: bool) -> np.ndarray:
+    if not shuffle:
+        return np.arange(n)
+    return np.random.default_rng(seed + epoch).permutation(n)
+
+
+def iterate_batches(
+    loader: SampleLoader,
+    batch_size: int,
+    *,
+    epoch: int = 0,
+    shuffle: bool = False,
+    seed: int = 42,
+    num_workers: int = 8,
+    prefetch_batches: int = 4,
+    drop_last: bool = False,
+    pad_last: bool = False,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yield stacked numpy batches, decoding ahead with a thread pool.
+
+    ``pad_last`` repeats the final sample up to a full batch and adds a
+    ``num_valid`` field — eval keeps static shapes without dropping samples
+    (the Trainer's eval loop processes every sample, SURVEY §3.4).
+    """
+    n = len(loader.index)
+    order = epoch_order(n, epoch, seed, shuffle)
+    batches: List[np.ndarray] = [
+        order[i:i + batch_size] for i in range(0, n, batch_size)]
+    if drop_last and batches and len(batches[-1]) < batch_size:
+        batches.pop()
+    if not batches:
+        return
+
+    def load_batch(args: Tuple[int, np.ndarray]) -> Dict[str, np.ndarray]:
+        bi, idxs = args
+        out: List[Dict[str, np.ndarray]] = []
+        for j, i in enumerate(idxs):
+            rng = (np.random.default_rng((seed, epoch, bi, j))
+                   if loader.augment else None)
+            out.append(loader.load(int(i), rng))
+        num_valid = len(out)
+        if pad_last and num_valid < batch_size:
+            out.extend([out[-1]] * (batch_size - num_valid))
+        batch = _stack(out)
+        if pad_last:
+            batch["num_valid"] = np.asarray(num_valid, np.int32)
+        return batch
+
+    with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as pool:
+        futures = queue.Queue()
+        it = iter(enumerate(batches))
+
+        def submit_next() -> bool:
+            try:
+                args = next(it)
+            except StopIteration:
+                return False
+            futures.put(pool.submit(load_batch, args))
+            return True
+
+        for _ in range(prefetch_batches):
+            if not submit_next():
+                break
+        while not futures.empty():
+            fut = futures.get()
+            submit_next()
+            yield fut.result()
+
+
+class DevicePrefetcher:
+    """Keeps ``depth`` batches placed ahead on the mesh while the step loop
+    consumes the current one (host-overlap, SURVEY §7 step 3)."""
+
+    def __init__(self, batch_iter: Iterator[Dict[str, np.ndarray]],
+                 place_fn, depth: int = 2):
+        self._iter = batch_iter
+        self._place = place_fn
+        self._depth = depth
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._done = object()
+        self._thread = threading.Thread(target=self._fill, daemon=True)
+        self._thread.start()
+
+    def _fill(self) -> None:
+        try:
+            for batch in self._iter:
+                self._q.put(self._place(batch))
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            raise StopIteration
+        return item

@@ -1,0 +1,132 @@
+"""Storage backends: GCS, local filesystem, and in-memory fake.
+
+The reference streams everything from a GCS bucket and pathologically
+creates a **fresh client per sample** inside ``Dataset.__getitem__``
+(pyc L272, SURVEY §2.3 "a known pathology to fix, not copy"). Here a single
+client is shared with connection reuse, and the blob-name map is built once
+(pyc L218-L239). ``LocalStore`` serves the same bucket layout from disk;
+``MemoryStore`` is the in-process fake for tests and smoke runs (SURVEY §4:
+fake GCS store standing in for the bucket layout).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Dict, Iterable, List, Optional, Protocol
+
+from chestxray_vit_tpu.config import DataConfig
+
+
+class Store(Protocol):
+    def get(self, name: str) -> bytes: ...
+    def list(self, prefix: str) -> List[str]: ...
+    def exists(self, name: str) -> bool: ...
+
+
+class MemoryStore:
+    """In-memory bucket fake."""
+
+    def __init__(self, blobs: Optional[Dict[str, bytes]] = None):
+        self._blobs: Dict[str, bytes] = dict(blobs or {})
+
+    def put(self, name: str, data: bytes) -> None:
+        self._blobs[name] = data
+
+    def get(self, name: str) -> bytes:
+        return self._blobs[name]
+
+    def list(self, prefix: str) -> List[str]:
+        return sorted(n for n in self._blobs if n.startswith(prefix))
+
+    def exists(self, name: str) -> bool:
+        return name in self._blobs
+
+
+class LocalStore:
+    """Bucket layout rooted at a directory."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def get(self, name: str) -> bytes:
+        with open(self._path(name), "rb") as f:
+            return f.read()
+
+    def list(self, prefix: str) -> List[str]:
+        out: List[str] = []
+        base = self._path(prefix)
+        parent = base if os.path.isdir(base) else os.path.dirname(base)
+        for dirpath, _dirs, files in os.walk(parent):
+            for fn in files:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if rel.startswith(prefix):
+                    out.append(rel)
+        return sorted(out)
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._path(name))
+
+
+class GCSStore:
+    """google-cloud-storage backend with one shared client.
+
+    Unlike the reference (client per __getitem__, pyc L272), one client and
+    bucket handle serve all threads; the underlying HTTP session pools
+    connections. ``get`` is thread-safe.
+    """
+
+    def __init__(self, bucket_name: str, project: Optional[str] = None):
+        from google.cloud import storage  # deferred: not needed off-GCS
+
+        self._client = storage.Client(project=project) if project \
+            else storage.Client.create_anonymous_client()
+        self._bucket = self._client.bucket(bucket_name)
+        self._lock = threading.Lock()
+
+    def get(self, name: str) -> bytes:
+        return self._bucket.blob(name).download_as_bytes()
+
+    def list(self, prefix: str) -> List[str]:
+        return [b.name for b in self._client.list_blobs(
+            self._bucket, prefix=prefix)]
+
+    def exists(self, name: str) -> bool:
+        return self._bucket.blob(name).exists()
+
+
+def open_store(cfg: DataConfig, memory_store: Optional[MemoryStore] = None
+               ) -> Store:
+    if cfg.backend == "memory":
+        if memory_store is None:
+            raise ValueError("memory backend needs a MemoryStore instance")
+        return memory_store
+    if cfg.backend == "local":
+        return LocalStore(cfg.local_root or ".")
+    if cfg.backend == "gcs":
+        return GCSStore(cfg.gcs_bucket_name, cfg.gcp_project_id or None)
+    raise ValueError(f"unknown storage backend {cfg.backend!r}")
+
+
+def build_blob_map(store: Store, cfg: DataConfig) -> Dict[str, str]:
+    """{basename → full blob name} over images_001..012/images/
+    (pyc L218-L239): skips directory placeholders, warns-and-continues on a
+    folder that fails to list."""
+    blob_map: Dict[str, str] = {}
+    base = cfg.gcs_image_base_prefix
+    for i in range(1, cfg.num_image_folders + 1):
+        prefix = base + cfg.image_folder_template.format(i)
+        try:
+            names: Iterable[str] = store.list(prefix)
+        except Exception as e:                        # noqa: BLE001
+            print(f"[storage] warning: listing {prefix} failed: {e}")
+            continue
+        for name in names:
+            if name.endswith("/"):
+                continue
+            blob_map[os.path.basename(name)] = name
+    return blob_map

@@ -21,6 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from chestxray_vit_tpu.config import Config
 from chestxray_vit_tpu.models import vit
+from chestxray_vit_tpu.ops.preprocess import prepare_pixel_values
 from chestxray_vit_tpu.parallel.mesh import batch_sharding, param_sharding, replicated
 from chestxray_vit_tpu.train import optimizer as opt
 
@@ -82,8 +83,8 @@ def make_train_step(cfg: Config, total_steps: int
 
     def loss_fn(params: Params, batch: Dict[str, jax.Array],
                 rng: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        logits = vit.apply(params, batch["pixel_values"], cfg.model,
-                           train=True, rng=rng)
+        images = prepare_pixel_values(batch)
+        logits = vit.apply(params, images, cfg.model, train=True, rng=rng)
         return bce_with_logits(logits, batch["labels"]), logits
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
@@ -111,7 +112,7 @@ def make_eval_step(cfg: Config) -> Callable[[Params, Dict[str, jax.Array]],
     loop, like the Trainer's logit all-gather, SURVEY §3.4)."""
 
     def eval_step(params: Params, batch: Dict[str, jax.Array]) -> jax.Array:
-        return vit.apply(params, batch["pixel_values"], cfg.model,
+        return vit.apply(params, prepare_pixel_values(batch), cfg.model,
                          train=False)
 
     return eval_step
@@ -139,13 +140,12 @@ def jit_train_step(train_step, mesh: Mesh, state: TrainState):
     st_sh = _state_shardings(mesh, state)
     bt_sh = batch_sharding(mesh)
     met_sh = replicated(mesh)
+    # bt_sh / met_sh are pytree-prefix shardings: every batch leaf is split
+    # on the data axis, every metric is replicated.
     return jax.jit(
         train_step,
-        in_shardings=(st_sh, jax.tree.map(lambda _: bt_sh,
-                                          {"pixel_values": 0, "labels": 0})),
-        out_shardings=(st_sh, jax.tree.map(lambda _: met_sh,
-                                           {"loss": 0, "grad_norm": 0,
-                                            "lr": 0})),
+        in_shardings=(st_sh, bt_sh),
+        out_shardings=(st_sh, met_sh),
         donate_argnums=(0,),
     )
 
@@ -155,7 +155,7 @@ def jit_eval_step(eval_step, mesh: Mesh, params: Params):
     bt_sh = batch_sharding(mesh)
     return jax.jit(
         eval_step,
-        in_shardings=(p_sh, {"pixel_values": bt_sh, "labels": bt_sh}),
+        in_shardings=(p_sh, bt_sh),
         out_shardings=batch_sharding(mesh),
     )
 
