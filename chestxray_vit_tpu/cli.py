@@ -1,0 +1,119 @@
+"""Command-line entry points.
+
+The reference has no CLI — knobs are module constants (pyc L64-L91) and a
+literal dict (ViT-Training.py:155-166). Here: typed config + subcommands.
+
+    python -m chestxray_vit_tpu.cli train --preset version_b \
+        --set data.use_subset_data=1000 --set train.output_dir=./outputs
+    python -m chestxray_vit_tpu.cli eval --preset version_b \
+        --set train.resume_from_checkpoint=auto
+    python -m chestxray_vit_tpu.cli predict ...   # + classification report
+    python -m chestxray_vit_tpu.cli smoke         # synthetic end-to-end run
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import List, Optional
+
+from chestxray_vit_tpu.config import Config, parse_cli
+
+
+def _build_trainer(cfg: Config, pretrained: bool = True):
+    from chestxray_vit_tpu.train.trainer import Trainer
+    store = None
+    if cfg.data.backend == "memory":
+        from chestxray_vit_tpu.data.testing import build_fake_nih
+        store = build_fake_nih(num_images=max(
+            64, (cfg.data.use_subset_data or 0) + 32)).store
+    return Trainer(cfg, store=store, pretrained=pretrained)
+
+
+def cmd_train(cfg: Config) -> int:
+    trainer = _build_trainer(cfg)
+    metrics = trainer.train()
+    trainer.save_model()
+    eval_metrics = trainer.evaluate()
+    trainer.logger.log(int(trainer.state.step), eval_metrics, "eval")
+    trainer.logger.save_results("eval", eval_metrics)
+    trainer.close()
+    print({**metrics, **eval_metrics})
+    return 0
+
+
+def cmd_eval(cfg: Config) -> int:
+    trainer = _build_trainer(cfg)
+    if cfg.train.resume_from_checkpoint:
+        step = (None if cfg.train.resume_from_checkpoint == "auto"
+                else int(cfg.train.resume_from_checkpoint))
+        trainer.state, _, _ = trainer.ckpt.restore(step, trainer.state)
+    metrics = trainer.evaluate()
+    trainer.logger.save_results("eval", metrics)
+    trainer.close()
+    print(metrics)
+    return 0
+
+
+def cmd_predict(cfg: Config) -> int:
+    trainer = _build_trainer(cfg)
+    if cfg.train.resume_from_checkpoint:
+        step = (None if cfg.train.resume_from_checkpoint == "auto"
+                else int(cfg.train.resume_from_checkpoint))
+        trainer.state, _, _ = trainer.ckpt.restore(step, trainer.state)
+    report = os.path.join(os.path.expanduser(cfg.train.output_dir),
+                          "final_classification_report.txt")
+    _, _, metrics = trainer.predict(report_path=report)
+    trainer.close()
+    print(metrics)
+    return 0
+
+
+def cmd_smoke(cfg: Config) -> int:
+    """Synthetic-bucket end-to-end sanity fine-tune (the reference's
+    USE_SUBSET_DATA fast-test path, README.md:82, done properly)."""
+    cfg.data.backend = "memory"
+    cfg.data.use_subset_data = cfg.data.use_subset_data or 48
+    cfg.model.img_size = min(cfg.model.img_size, 64)
+    cfg.model.num_layers = min(cfg.model.num_layers, 2)
+    cfg.model.hidden_size = min(cfg.model.hidden_size, 64)
+    cfg.model.num_heads = 4
+    cfg.model.mlp_dim = min(cfg.model.mlp_dim, 128)
+    cfg.model.attention_impl = "auto"
+    cfg.train.num_epochs = min(cfg.train.num_epochs, 3)
+    cfg.train.eval_strategy = "epoch"
+    cfg.train.save_strategy = "epoch"
+    cfg.train.logging_steps = 1
+    trainer = _build_trainer(cfg, pretrained=False)
+    trainer.train()
+    metrics = trainer.evaluate()
+    trainer.close()
+    print({"smoke": "ok", **{k: round(v, 4) for k, v in metrics.items()
+                             if not k.startswith("auroc_")}})
+    return 0
+
+
+COMMANDS = {
+    "train": cmd_train,
+    "eval": cmd_eval,
+    "predict": cmd_predict,
+    "smoke": cmd_smoke,
+}
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        print("commands:", ", ".join(sorted(COMMANDS)))
+        return 0
+    cmd = argv.pop(0)
+    if cmd not in COMMANDS:
+        print(f"unknown command {cmd!r}; one of {sorted(COMMANDS)}")
+        return 2
+    cfg = parse_cli(argv)
+    return COMMANDS[cmd](cfg)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

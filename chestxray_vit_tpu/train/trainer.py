@@ -1,0 +1,256 @@
+"""Training orchestrator — the HF-Trainer-equivalent top of the stack.
+
+Reproduces the reference's Trainer surface and behavior
+(/root/reference/ViT-Training.py:92-149; pyc L438-L492): ``train()`` with
+steps- or epoch-cadenced eval/save/log, best-model tracking and
+end-of-training restore, ``evaluate()`` with avg_auroc/f1_micro,
+``predict()`` + classification report, ``save_model()`` — but as a single
+process driving a device mesh, with exact resume (params + opt state + data
+cursor) instead of the reference's per-rank checkpoint dirs.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+
+from chestxray_vit_tpu.config import Config
+from chestxray_vit_tpu.data import pipeline as pipe
+from chestxray_vit_tpu.data.storage import Store
+from chestxray_vit_tpu.eval import metrics as M
+from chestxray_vit_tpu.models import import_hf, vit
+from chestxray_vit_tpu.parallel import mesh as mesh_lib
+from chestxray_vit_tpu.train import checkpoint as ckpt
+from chestxray_vit_tpu.train import steps as S
+from chestxray_vit_tpu.utils.logging import MetricLogger, ThroughputMeter
+from chestxray_vit_tpu.utils.profiling import StepProfiler
+
+
+class Trainer:
+    def __init__(self, cfg: Config, store: Optional[Store] = None,
+                 pretrained: bool = True):
+        self.cfg = cfg
+        self.bundle = pipe.build_datasets(cfg.data, store=store)
+        # NUM_CLASSES is data-derived, like the reference (pyc L174)
+        cfg.model.num_classes = len(self.bundle.classes)
+
+        self.mesh = mesh_lib.build_mesh(cfg.mesh)
+        params = None
+        if pretrained:
+            params = import_hf.load_pretrained(
+                cfg.model.model_name, cfg.model)
+        if params is None:
+            params = vit.init_params(
+                jax.random.key(cfg.train.seed), cfg.model)
+        self.state = S.place_state(
+            S.TrainState.create(params, cfg.train.seed), self.mesh)
+
+        self.global_batch = mesh_lib.local_batch_to_global(
+            cfg.train.batch_size_per_core, self.mesh)
+        self.eval_batch = (cfg.train.eval_batch_size
+                          * self.mesh.shape["data"]
+                          * self.mesh.shape["fsdp"])
+
+        self.steps_per_epoch = max(
+            len(self.bundle.train) // self.global_batch, 1)
+        self.total_steps = (cfg.train.max_steps
+                            or int(math.ceil(self.steps_per_epoch
+                                             * cfg.train.num_epochs)))
+
+        self._train_step = S.jit_train_step(
+            S.make_train_step(cfg, self.total_steps), self.mesh, self.state)
+        self._eval_step = S.jit_eval_step(
+            S.make_eval_step(cfg), self.mesh, self.state.params)
+
+        out_dir = os.path.expanduser(cfg.train.output_dir)
+        self.logger = MetricLogger(out_dir, cfg.train.report_to)
+        self.profiler = StepProfiler(out_dir, cfg.train.profile_steps)
+        self.ckpt = ckpt.CheckpointManager(
+            os.path.join(out_dir, "checkpoints"),
+            save_total_limit=cfg.train.save_total_limit,
+            metric_for_best=(cfg.train.metric_for_best_model
+                             if cfg.train.load_best_model_at_end else None),
+            greater_is_better=cfg.train.greater_is_better)
+        self._meter = ThroughputMeter()
+        self._last_eval_metrics: Dict[str, float] = {}
+
+    # ------------------------------------------------------------------
+    # data plumbing
+    # ------------------------------------------------------------------
+
+    def _loader(self, index, augment: bool) -> pipe.SampleLoader:
+        return pipe.SampleLoader(
+            index, self.bundle.blob_map, self.bundle.store,
+            img_size=self.cfg.model.img_size,
+            placement="host",
+            augment=augment and self.cfg.data.augment,
+            prefer_native_decode=True)
+
+    def _train_batches(self, epoch: int, skip: int = 0
+                       ) -> Iterator[Dict[str, jax.Array]]:
+        it = pipe.iterate_batches(
+            self._loader(self.bundle.train, augment=True),
+            self.global_batch, epoch=epoch, shuffle=True,
+            seed=self.cfg.data.shuffle_buffer_seed,
+            num_workers=self.cfg.data.num_workers,
+            prefetch_batches=self.cfg.data.prefetch_depth,
+            drop_last=True)
+        for i, batch in enumerate(it):
+            if i < skip:
+                continue
+            yield mesh_lib.shard_batch(self.mesh, batch)
+
+    # ------------------------------------------------------------------
+    # train
+    # ------------------------------------------------------------------
+
+    def train(self) -> Dict[str, float]:
+        cfg = self.cfg.train
+        cursor = ckpt.DataCursor()
+        if cfg.resume_from_checkpoint:
+            step = (None if cfg.resume_from_checkpoint == "auto"
+                    else int(cfg.resume_from_checkpoint))
+            self.state, cursor, _ = self.ckpt.restore(step, self.state)
+            print(f"[trainer] resumed at step {int(self.state.step)} "
+                  f"(epoch {cursor.epoch}, batch {cursor.batch_in_epoch})")
+
+        t_start = time.perf_counter()
+        step = int(self.state.step)
+        epoch = cursor.epoch
+        done = False
+        while not done and step < self.total_steps:
+            skip = cursor.batch_in_epoch if epoch == cursor.epoch else 0
+            prefetch = pipe.DevicePrefetcher(
+                self._train_batches(epoch, skip), place_fn=lambda b: b,
+                depth=self.cfg.data.prefetch_depth)
+            batch_idx = skip
+            for batch in prefetch:
+                self.profiler.maybe_start(step)
+                self.state, metrics = self._train_step(self.state, batch)
+                loss = float(metrics["loss"])   # per-step sync (see BENCH_NOTES)
+                step += 1
+                batch_idx += 1
+                self._meter.step(self.global_batch)
+                self.profiler.maybe_stop(step)
+
+                if step % cfg.logging_steps == 0:
+                    self.logger.log(step, {
+                        "loss": loss,
+                        "grad_norm": float(metrics["grad_norm"]),
+                        "lr": float(metrics["lr"]),
+                        "epoch": epoch + batch_idx / self.steps_per_epoch,
+                        "images_per_sec": self._meter.images_per_sec,
+                    })
+                if cfg.eval_strategy == "steps" and step % cfg.eval_steps == 0:
+                    self._last_eval_metrics = self.evaluate()
+                    self.logger.log(step, self._last_eval_metrics, "eval")
+                if cfg.save_strategy == "steps" and step % cfg.save_steps == 0:
+                    self._save(step, epoch, batch_idx)
+                if step >= self.total_steps:
+                    done = True
+                    break
+            else:
+                epoch += 1
+                if cfg.eval_strategy == "epoch":
+                    self._last_eval_metrics = self.evaluate()
+                    self.logger.log(step, self._last_eval_metrics, "eval")
+                if cfg.save_strategy == "epoch":
+                    self._save(step, epoch, 0)
+                if epoch >= cfg.num_epochs and cfg.max_steps is None:
+                    done = True
+
+        self.profiler.stop_if_active()
+        self.ckpt.wait()
+
+        if cfg.load_best_model_at_end and self.ckpt.all_steps():
+            best = self.ckpt.best_step() or self.ckpt.latest_step()
+            self.state, _, _ = self.ckpt.restore(best, self.state)
+            print(f"[trainer] loaded best checkpoint (step {best})")
+
+        elapsed = time.perf_counter() - t_start
+        train_metrics = {
+            "train_runtime": elapsed,
+            "train_steps": step,
+            "train_samples_per_second":
+                step * self.global_batch / max(elapsed, 1e-9),
+        }
+        self.logger.save_results("train", train_metrics)
+        return train_metrics
+
+    def _save(self, step: int, epoch: int, batch_idx: int) -> None:
+        self.ckpt.save(step, self.state,
+                       cursor=ckpt.DataCursor(epoch, batch_idx),
+                       metrics=self._last_eval_metrics or None)
+
+    # ------------------------------------------------------------------
+    # eval / predict
+    # ------------------------------------------------------------------
+
+    def _forward_all(self, index) -> Tuple[np.ndarray, np.ndarray, float]:
+        """Run the eval loop over a DatasetIndex; returns (logits, labels,
+        mean BCE loss) with padding sliced off — the Trainer's logit
+        gather (SURVEY §3.4)."""
+        loader = self._loader(index, augment=False)
+        logits_all, labels_all = [], []
+        total_loss, total_n = 0.0, 0
+        for batch in pipe.iterate_batches(
+                loader, self.eval_batch,
+                num_workers=self.cfg.data.num_workers,
+                prefetch_batches=self.cfg.data.prefetch_depth,
+                pad_last=True):
+            n_valid = int(batch.pop("num_valid"))
+            placed = mesh_lib.shard_batch(self.mesh, batch)
+            logits = np.asarray(self._eval_step(self.state.params, placed))
+            logits = logits[:n_valid]
+            labels = batch["labels"][:n_valid]
+            loss = float(S.bce_with_logits(
+                jax.numpy.asarray(logits), jax.numpy.asarray(labels)))
+            total_loss += loss * n_valid
+            total_n += n_valid
+            logits_all.append(logits)
+            labels_all.append(labels)
+        return (np.concatenate(logits_all), np.concatenate(labels_all),
+                total_loss / max(total_n, 1))
+
+    def evaluate(self, index=None) -> Dict[str, float]:
+        """avg_auroc (+ per-class) and f1_micro over the val set — the union
+        of both reference compute_metrics surfaces (pyc L320-L355;
+        ViT-Training.py:112-118)."""
+        index = index if index is not None else self.bundle.val
+        logits, labels, loss = self._forward_all(index)
+        out = M.compute_metrics(logits, labels, self.bundle.classes)
+        out["eval_loss"] = loss
+        return out
+
+    def predict(self, index=None, report_path: Optional[str] = None
+                ) -> Tuple[np.ndarray, np.ndarray, Dict[str, float]]:
+        """Version A's final test pass (ViT-Training.py:135-149): predict on
+        test, optional classification report written to disk."""
+        index = index if index is not None else self.bundle.test
+        logits, labels, loss = self._forward_all(index)
+        metrics = M.compute_metrics(logits, labels, self.bundle.classes)
+        metrics["test_loss"] = loss
+        if report_path:
+            text = M.write_classification_report(
+                os.path.expanduser(report_path), logits,
+                labels.astype(np.int64), self.bundle.classes)
+            print(text)
+        return logits, labels, metrics
+
+    # ------------------------------------------------------------------
+
+    def save_model(self, directory: Optional[str] = None) -> None:
+        directory = directory or os.path.join(
+            os.path.expanduser(self.cfg.train.output_dir), "model")
+        ckpt.save_model(directory, self.state.params, self.cfg.to_json(),
+                        self.bundle.classes)
+        print(f"[trainer] model saved to {directory}")
+
+    def close(self) -> None:
+        self.ckpt.close()
+        self.logger.close()

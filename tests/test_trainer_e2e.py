@@ -1,0 +1,104 @@
+"""The minimum end-to-end slice (BASELINE.json configs[0], SURVEY §7):
+synthetic-NIH fine-tune on the 8-device CPU mesh with eval, checkpointing,
+best-restore, resume, and prediction report."""
+
+import os
+
+import numpy as np
+import pytest
+
+from chestxray_vit_tpu.config import Config, DataConfig, MeshConfig, ModelConfig, TrainConfig
+from chestxray_vit_tpu.data.testing import build_fake_nih
+from chestxray_vit_tpu.train.trainer import Trainer
+
+
+def _cfg(tmp_path, **train_kw) -> Config:
+    train = dict(batch_size_per_core=2, learning_rate=2e-3, num_epochs=3,
+                 eval_strategy="epoch", save_strategy="epoch",
+                 logging_steps=5, output_dir=str(tmp_path / "out"),
+                 report_to="none", seed=0)
+    train.update(train_kw)
+    return Config(
+        data=DataConfig(backend="memory"),
+        model=ModelConfig(img_size=64, patch_size=16, hidden_size=64,
+                          num_layers=2, num_heads=4, mlp_dim=128,
+                          dtype="float32", attention_impl="xla"),
+        train=TrainConfig(**train),
+    )
+
+
+@pytest.fixture(scope="module")
+def fake():
+    return build_fake_nih(num_images=80, image_size=64, seed=11)
+
+
+def test_full_train_eval_predict_cycle(tmp_path, fake):
+    cfg = _cfg(tmp_path)
+    tr = Trainer(cfg, store=fake.store, pretrained=False)
+    assert cfg.model.num_classes == 15       # data-derived
+    train_metrics = tr.train()
+    assert train_metrics["train_steps"] == tr.total_steps
+    ev = tr.evaluate()
+    assert 0.0 <= ev["avg_auroc"] <= 1.0 and np.isfinite(ev["eval_loss"])
+    # the synthetic data is learnable: better than chance
+    assert ev["avg_auroc"] > 0.5
+
+    logits, labels, test_metrics = tr.predict(
+        report_path=str(tmp_path / "report.txt"))
+    assert logits.shape[0] == len(tr.bundle.test) == labels.shape[0]
+    assert os.path.exists(tmp_path / "report.txt")
+
+    tr.save_model()
+    assert os.path.exists(tmp_path / "out" / "model" / "classes.json")
+    # results files (log_metrics/save_metrics parity)
+    tr.logger.save_results("eval", ev)
+    assert os.path.exists(tmp_path / "out" / "eval_results.json")
+    tr.close()
+
+
+def test_checkpoint_resume_continues_exactly(tmp_path, fake):
+    # run 1: stop after 4 steps (max_steps), saving every 2
+    cfg = _cfg(tmp_path, max_steps=4, save_strategy="steps", save_steps=2,
+               eval_strategy="no", load_best_model_at_end=False)
+    tr1 = Trainer(cfg, store=fake.store, pretrained=False)
+    tr1.train()
+    assert int(tr1.state.step) == 4
+    tr1.ckpt.wait()
+    assert tr1.ckpt.latest_step() == 4
+    tr1.close()
+
+    # run 2: resume to 8 steps
+    cfg2 = _cfg(tmp_path, max_steps=8, save_strategy="steps", save_steps=2,
+                eval_strategy="no", load_best_model_at_end=False,
+                resume_from_checkpoint="auto")
+    tr2 = Trainer(cfg2, store=fake.store, pretrained=False)
+    tr2.train()
+    assert int(tr2.state.step) == 8
+    tr2.close()
+
+
+def test_trainer_on_8dev_mesh(tmp_path, fake):
+    import jax
+    assert len(jax.devices()) == 8
+    cfg = _cfg(tmp_path, max_steps=3, eval_strategy="no",
+               save_strategy="steps", save_steps=100,
+               load_best_model_at_end=False)
+    cfg.mesh = MeshConfig()          # data=-1 → all 8 devices
+    tr = Trainer(cfg, store=fake.store, pretrained=False)
+    assert tr.mesh.shape["data"] == 8
+    assert tr.global_batch == 16     # 2 per core × 8
+    tr.train()
+    assert int(tr.state.step) == 3
+    tr.close()
+
+
+def test_best_model_restored_at_end(tmp_path, fake):
+    cfg = _cfg(tmp_path, num_epochs=2, eval_strategy="epoch",
+               save_strategy="epoch", load_best_model_at_end=True)
+    tr = Trainer(cfg, store=fake.store, pretrained=False)
+    tr.train()
+    # after train() the loaded state is the best checkpoint's step
+    best = tr.ckpt.best_step()
+    assert best is not None
+    assert int(tr.state.step) == best
+    tr.close()
