@@ -214,6 +214,39 @@ def apply(params: Params, images: jax.Array, cfg: ModelConfig, *,
     return logits
 
 
+def unstack_blocks(params: Params, cfg: ModelConfig,
+                   compute_dtype: Optional[jnp.dtype] = None) -> list:
+    """Per-layer parameter views of the stacked scan tree."""
+    dt = compute_dtype or jnp.dtype(cfg.dtype)
+    return [jax.tree.map(lambda a, i=i: a[i].astype(dt), params["blocks"])
+            for i in range(cfg.num_layers)]
+
+
+def run_block(x: jax.Array, bp: Params, cfg: ModelConfig,
+              return_probs: bool = False):
+    """One encoder block, unrolled form (introspection paths)."""
+    a_in = layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"],
+                      cfg.layernorm_eps)
+    attn_out, probs = _mha(a_in, bp, cfg, "xla", return_probs=return_probs)
+    x = x + attn_out
+    m_in = layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
+                      cfg.layernorm_eps)
+    x = x + _linear(jax.nn.gelu(_linear(m_in, bp["mlp_in"]),
+                                approximate=False), bp["mlp_out"])
+    return x, probs
+
+
+def head_logits(params: Params, tokens: jax.Array,
+                cfg: ModelConfig) -> jax.Array:
+    """Final LN + CLS classifier head on encoder output tokens."""
+    fl = params["final_ln"]
+    x = layer_norm(tokens, fl["scale"], fl["bias"], cfg.layernorm_eps)
+    head = params["head"]
+    return (jnp.dot(x[:, 0, :].astype(jnp.float32),
+                    head["kernel"].astype(jnp.float32))
+            + head["bias"].astype(jnp.float32))
+
+
 def apply_with_attention(params: Params, images: jax.Array,
                          cfg: ModelConfig) -> Tuple[jax.Array, jax.Array]:
     """Forward pass that also returns per-layer attention probabilities
@@ -222,29 +255,11 @@ def apply_with_attention(params: Params, images: jax.Array,
     probabilities themselves are the product."""
     compute_dtype = jnp.dtype(cfg.dtype)
     x = embed(params, images, cfg, compute_dtype)
-    unstacked = [
-        jax.tree.map(lambda a, i=i: a[i].astype(compute_dtype),
-                     params["blocks"])
-        for i in range(cfg.num_layers)
-    ]
     all_probs = []
-    for bp in unstacked:
-        a_in = layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"],
-                          cfg.layernorm_eps)
-        attn_out, probs = _mha(a_in, bp, cfg, "xla", return_probs=True)
+    for bp in unstack_blocks(params, cfg, compute_dtype):
+        x, probs = run_block(x, bp, cfg, return_probs=True)
         all_probs.append(probs)
-        x = x + attn_out
-        m_in = layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
-                          cfg.layernorm_eps)
-        x = x + _linear(jax.nn.gelu(_linear(m_in, bp["mlp_in"]),
-                                    approximate=False), bp["mlp_out"])
-    fl = params["final_ln"]
-    x = layer_norm(x, fl["scale"], fl["bias"], cfg.layernorm_eps)
-    head = params["head"]
-    logits = (jnp.dot(x[:, 0, :].astype(jnp.float32),
-                      head["kernel"].astype(jnp.float32))
-              + head["bias"].astype(jnp.float32))
-    return logits, jnp.stack(all_probs)
+    return head_logits(params, x, cfg), jnp.stack(all_probs)
 
 
 def nchw_to_nhwc(x: jax.Array) -> jax.Array:

@@ -100,7 +100,7 @@ def _preprocess_one(canvas: jax.Array, box: jax.Array, out_size: int,
     return out / 255.0
 
 
-@functools.partial(jax.jit, static_argnames=("out_size", "stretch"))
+@functools.partial(jax.jit, static_argnames=("out_size", "stretch", "dtype"))
 def fused_preprocess(
     canvases: jax.Array,                 # u8 [B, C, C] grayscale
     boxes: jax.Array,                    # i32/f32 [B, 4] (left, top, w, h)

@@ -1,0 +1,136 @@
+"""Serving + attention-map tests (BASELINE configs[3]; README.md:90 TODO the
+reference never shipped)."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from chestxray_vit_tpu.config import ModelConfig
+from chestxray_vit_tpu.models import vit
+from chestxray_vit_tpu.serve import attention_maps as am
+from chestxray_vit_tpu.serve.inference import Predictor
+
+
+def tiny_cfg(**kw):
+    base = dict(img_size=32, patch_size=16, hidden_size=64, num_layers=2,
+                num_heads=4, mlp_dim=128, num_classes=5, dtype="float32",
+                attention_impl="xla")
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def _png(arr):
+    buf = io.BytesIO()
+    Image.fromarray(arr, "L").save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_attention_rollout_shapes_and_range(rng):
+    cfg = tiny_cfg()
+    params = vit.init_params(jax.random.key(0), cfg)
+    x = jnp.asarray(rng.standard_normal((3, 32, 32, 3)), jnp.float32)
+    logits, maps = am.compute_rollout(params, x, cfg)
+    assert logits.shape == (3, 5)
+    assert maps.shape == (3, 2, 2)          # (32/16)² grid
+    assert float(maps.min()) >= 0.0 and float(maps.max()) <= 1.0
+
+
+def test_rollout_math_identity_attention():
+    """With identity attention the rollout must be (normalized) identity —
+    CLS attends only to itself, patch saliency is flat zero."""
+    l, b, h, s = 2, 1, 2, 5
+    eye = jnp.broadcast_to(jnp.eye(s), (l, b, h, s, s))
+    maps = am.attention_rollout(eye)
+    np.testing.assert_allclose(np.asarray(maps), 0.0, atol=1e-6)
+
+
+def test_rollout_peaked_attention():
+    """All queries attending patch 3 → the map peaks at patch 3."""
+    l, b, h, s = 1, 1, 1, 5
+    a = np.full((l, b, h, s, s), 1e-6, np.float32)
+    a[..., 3] = 1.0
+    a = a / a.sum(-1, keepdims=True)
+    maps = am.attention_rollout(jnp.asarray(a))
+    flat = np.asarray(maps).reshape(-1)
+    assert flat.argmax() == 2                # patch index 3 → patch-grid 2
+
+
+def test_grad_cam_shapes_and_differentiates_classes(rng):
+    cfg = tiny_cfg()
+    params = vit.init_params(jax.random.key(1), cfg)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    logits, maps0 = am.grad_cam(params, x, cfg, class_idx=0)
+    _, maps1 = am.grad_cam(params, x, cfg, class_idx=1)
+    assert maps0.shape == (2, 2, 2)
+    assert np.isfinite(np.asarray(maps0)).all()
+    ref = vit.apply(params, x, cfg)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref), atol=1e-5)
+    assert not np.allclose(np.asarray(maps0), np.asarray(maps1))
+
+
+def test_upsample_map():
+    maps = jnp.asarray(np.random.default_rng(0).random((2, 2, 2)),
+                       jnp.float32)
+    up = am.upsample_map(maps, 8)
+    assert up.shape == (2, 8, 8)
+
+
+def test_predictor_end_to_end(rng):
+    cfg = tiny_cfg()
+    params = vit.init_params(jax.random.key(2), cfg)
+    pred = Predictor(params, cfg, classes=list("ABCDE"), batch_size=4,
+                     canvas_size=64)
+    blobs = [_png(rng.integers(0, 255, (48, 64), np.uint8))
+             for _ in range(6)]             # 6 images → 2 micro-batches
+    out = pred.predict_bytes(blobs)
+    assert out.probs.shape == (6, 5)
+    assert ((out.probs >= 0) & (out.probs <= 1)).all()
+    np.testing.assert_allclose(out.probs, 1 / (1 + np.exp(-out.logits)),
+                               atol=1e-5)
+    top = pred.top_findings(out.probs[0], k=3)
+    assert len(top) == 3 and top[0]["probability"] >= top[1]["probability"]
+
+
+def test_predictor_with_maps(rng):
+    cfg = tiny_cfg()
+    params = vit.init_params(jax.random.key(3), cfg)
+    pred = Predictor(params, cfg, batch_size=2, canvas_size=64)
+    blobs = [_png(rng.integers(0, 255, (64, 64), np.uint8))
+             for _ in range(3)]
+    out = pred.predict_bytes(blobs, with_maps=True)
+    assert out.maps.shape == (3, 2, 2)
+
+
+def test_predictor_matches_training_preprocess(rng):
+    """Predictor's fused preprocessing == host pipeline + apply."""
+    from chestxray_vit_tpu.data import geometry as geo
+    from chestxray_vit_tpu.data.pipeline import host_resize
+    from chestxray_vit_tpu.ops.preprocess import normalize_u8
+    cfg = tiny_cfg()
+    params = vit.init_params(jax.random.key(4), cfg)
+    gray = rng.integers(0, 255, (48, 64), np.uint8)
+    pred = Predictor(params, cfg, batch_size=1, canvas_size=64)
+    out = pred.predict_bytes([_png(gray)])
+    hr = host_resize(gray, geo.full_image_box(64, 48), 32)
+    imgs = normalize_u8(jnp.asarray(hr[None]))
+    ref_logits = np.asarray(vit.apply(params, imgs, cfg))
+    np.testing.assert_allclose(out.logits, ref_logits, atol=0.15, rtol=0.05)
+
+
+def test_predictor_save_load_roundtrip(tmp_path, rng):
+    from chestxray_vit_tpu.config import Config, TrainConfig
+    from chestxray_vit_tpu.train.checkpoint import save_model
+    cfg = tiny_cfg()
+    params = vit.init_params(jax.random.key(5), cfg)
+    full = Config(model=cfg, train=TrainConfig())
+    save_model(str(tmp_path / "m"), params, full.to_json(), list("ABCDE"))
+    pred = Predictor.from_model_dir(str(tmp_path / "m"), batch_size=2)
+    assert pred.classes == list("ABCDE")
+    blob = _png(rng.integers(0, 255, (64, 64), np.uint8))
+    out = pred.predict_bytes([blob])
+    assert out.probs.shape == (1, 5)
