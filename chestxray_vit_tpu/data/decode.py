@@ -51,6 +51,18 @@ def _load_native() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int),              # out H
                 ctypes.POINTER(ctypes.c_int),              # out W
             ]
+            lib.cxr_decode_batch.restype = ctypes.c_int
+            lib.cxr_decode_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),           # inputs
+                ctypes.POINTER(ctypes.c_size_t),           # sizes
+                ctypes.c_int,                              # n
+                ctypes.POINTER(ctypes.c_ubyte),            # out
+                ctypes.c_int, ctypes.c_int,                # buf H, W
+                ctypes.POINTER(ctypes.c_int),              # out hs
+                ctypes.POINTER(ctypes.c_int),              # out ws
+                ctypes.POINTER(ctypes.c_int),              # rcs
+                ctypes.c_int,                              # threads
+            ]
             _native_lib = lib
         except OSError as e:                               # noqa: PERF203
             print(f"[decode] native decoder unavailable: {e}")
@@ -97,6 +109,40 @@ def decode_gray(data: bytes, prefer_native: bool = True) -> np.ndarray:
         if out is not None:
             return out
     return decode_gray_pil(data)
+
+
+def decode_batch_native(blobs, canvas: np.ndarray, threads: int = 8
+                        ) -> Optional[Tuple[np.ndarray, np.ndarray,
+                                            np.ndarray]]:
+    """Parallel C++ batch decode straight into a caller canvas.
+
+    Args:
+      blobs: list of encoded image bytes (None entries fail per-image).
+      canvas: u8 [n, H, W] output buffer, filled in place (row stride W).
+      threads: worker threads inside the library (GIL-free).
+
+    Returns (heights, widths, return_codes) or None if the native library
+    isn't built. rc != 0 entries were not decoded (caller applies the
+    dummy-image policy).
+    """
+    lib = _load_native()
+    if lib is None:
+        return None
+    n, h, w = canvas.shape
+    assert len(blobs) == n
+    keep = [b if b is not None else b"" for b in blobs]
+    arr_t = ctypes.c_char_p * n
+    size_t_arr = ctypes.c_size_t * n
+    int_arr = ctypes.c_int * n
+    inputs = arr_t(*keep)
+    sizes = size_t_arr(*[len(b) for b in keep])
+    hs, ws, rcs = int_arr(), int_arr(), int_arr()
+    lib.cxr_decode_batch(
+        inputs, sizes, n,
+        canvas.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), h, w,
+        hs, ws, rcs, threads)
+    return (np.asarray(hs, np.int32), np.asarray(ws, np.int32),
+            np.asarray(rcs, np.int32))
 
 
 def dummy_image(size: Tuple[int, int] = (384, 384)) -> np.ndarray:

@@ -1,0 +1,211 @@
+// Native image-decode stage for the chest X-ray input pipeline.
+//
+// The reference decodes per sample with PIL inside Dataset.__getitem__
+// (pyc L279 of the recovered ViT-Training source) — Python-object overhead
+// per image on the hot path. This library decodes PNG/JPEG straight into
+// caller-owned u8 buffers with zero Python allocation, and offers a
+// std::thread batch API so a whole micro-batch decodes in parallel outside
+// the GIL (ctypes releases the GIL for the duration of the call).
+//
+// Grayscale conversion matches PIL convert('L') exactly: fixed-point
+// rounded ITU-R 601-2, (R*19595 + G*38470 + B*7471 + 0x8000) >> 16.
+//
+// Build: make -C native/decode    → libcxrdecode.so
+
+#include <atomic>
+#include <csetjmp>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
+
+namespace {
+
+constexpr unsigned char kPngSig[8] = {0x89, 'P', 'N', 'G', '\r', '\n',
+                                      0x1a, '\n'};
+
+inline unsigned char luma(unsigned r, unsigned g, unsigned b) {
+  // PIL convert('L') fixed-point ITU-R 601-2: round(0.299R+0.587G+0.114B)
+  return static_cast<unsigned char>(
+      (r * 19595u + g * 38470u + b * 7471u + 0x8000u) >> 16);
+}
+
+// ---------------------------------------------------------------------------
+// PNG
+// ---------------------------------------------------------------------------
+
+struct PngReadState {
+  const unsigned char* data;
+  size_t size;
+  size_t offset;
+};
+
+void png_read_fn(png_structp png, png_bytep out, png_size_t n) {
+  auto* st = static_cast<PngReadState*>(png_get_io_ptr(png));
+  if (st->offset + n > st->size) {
+    png_error(png, "read past end");
+  }
+  std::memcpy(out, st->data + st->offset, n);
+  st->offset += n;
+}
+
+int decode_png_gray(const unsigned char* data, size_t size,
+                    unsigned char* out, int buf_h, int buf_w,
+                    int* out_h, int* out_w) {
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                           nullptr, nullptr);
+  if (!png) return -2;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return -2;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -3;
+  }
+  PngReadState st{data, size, 0};
+  png_set_read_fn(png, &st, png_read_fn);
+  png_read_info(png, info);
+
+  png_uint_32 w = png_get_image_width(png, info);
+  png_uint_32 h = png_get_image_height(png, info);
+  int color = png_get_color_type(png, info);
+  int depth = png_get_bit_depth(png, info);
+
+  if (static_cast<int>(h) > buf_h || static_cast<int>(w) > buf_w) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -4;  // caller buffer too small
+  }
+
+  // Normalize to 8-bit RGB or gray.
+  if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color == PNG_COLOR_TYPE_GRAY && depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (depth == 16) png_set_strip_16(png);
+  png_set_strip_alpha(png);
+  png_read_update_info(png, info);
+
+  int channels = png_get_channels(png, info);
+  std::vector<unsigned char> row(png_get_rowbytes(png, info));
+  for (png_uint_32 y = 0; y < h; ++y) {
+    png_read_row(png, row.data(), nullptr);
+    unsigned char* dst = out + static_cast<size_t>(y) * buf_w;
+    if (channels == 1) {
+      std::memcpy(dst, row.data(), w);
+    } else {  // RGB (alpha already stripped)
+      for (png_uint_32 x = 0; x < w; ++x) {
+        const unsigned char* p = row.data() + x * channels;
+        dst[x] = luma(p[0], p[1], p[2]);
+      }
+    }
+  }
+  png_destroy_read_struct(&png, &info, nullptr);
+  *out_h = static_cast<int>(h);
+  *out_w = static_cast<int>(w);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// JPEG
+// ---------------------------------------------------------------------------
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jump;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  auto* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jump, 1);
+}
+
+int decode_jpeg_gray(const unsigned char* data, size_t size,
+                     unsigned char* out, int buf_h, int buf_w,
+                     int* out_h, int* out_w) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -3;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data), size);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_GRAYSCALE;  // libjpeg's own 601 luma path
+  jpeg_start_decompress(&cinfo);
+
+  int w = static_cast<int>(cinfo.output_width);
+  int h = static_cast<int>(cinfo.output_height);
+  if (h > buf_h || w > buf_w) {
+    jpeg_destroy_decompress(&cinfo);
+    return -4;
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    unsigned char* dst =
+        out + static_cast<size_t>(cinfo.output_scanline) * buf_w;
+    jpeg_read_scanlines(&cinfo, &dst, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  *out_h = h;
+  *out_w = w;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode one PNG/JPEG into a (buf_h, buf_w) u8 buffer (row stride = buf_w).
+// Returns 0 on success; negative on failure. The decoded extent is written
+// to (*out_h, *out_w); pixels outside it are left untouched.
+int cxr_decode_gray(const char* data, size_t size, unsigned char* out,
+                    int buf_h, int buf_w, int* out_h, int* out_w) {
+  if (size < 8 || data == nullptr) return -1;
+  const auto* bytes = reinterpret_cast<const unsigned char*>(data);
+  if (std::memcmp(bytes, kPngSig, 8) == 0) {
+    return decode_png_gray(bytes, size, out, buf_h, buf_w, out_h, out_w);
+  }
+  if (bytes[0] == 0xFF && bytes[1] == 0xD8) {
+    return decode_jpeg_gray(bytes, size, out, buf_h, buf_w, out_h, out_w);
+  }
+  return -1;  // unknown format
+}
+
+// Decode n images in parallel with `threads` workers. inputs[i]/sizes[i]
+// describe blob i; outputs are written at out + i*buf_h*buf_w. Per-image
+// return codes land in rcs[i]. Returns number of failures.
+int cxr_decode_batch(const char** inputs, const size_t* sizes, int n,
+                     unsigned char* out, int buf_h, int buf_w,
+                     int* out_hs, int* out_ws, int* rcs, int threads) {
+  if (threads < 1) threads = 1;
+  std::vector<std::thread> pool;
+  std::atomic<int> cursor(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = cursor.fetch_add(1);
+      if (i >= n) break;
+      rcs[i] = cxr_decode_gray(
+          inputs[i], sizes[i],
+          out + static_cast<size_t>(i) * buf_h * buf_w, buf_h, buf_w,
+          &out_hs[i], &out_ws[i]);
+    }
+  };
+  int nt = threads < n ? threads : n;
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  int failures = 0;
+  for (int i = 0; i < n; ++i)
+    if (rcs[i] != 0) ++failures;
+  return failures;
+}
+
+}  // extern "C"

@@ -1,0 +1,100 @@
+"""C++ decoder tests: PIL-exact grayscale decode for PNG (8-bit gray, RGB,
+palette) and near-exact JPEG; parallel batch API; failure codes.
+
+Builds native/decode/libcxrdecode.so on demand (skips when no toolchain)."""
+
+import io
+import os
+import subprocess
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from chestxray_vit_tpu.data import decode as dec
+
+NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native", "decode")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built_lib():
+    if not os.path.exists(os.path.join(NATIVE_DIR, "libcxrdecode.so")):
+        try:
+            subprocess.run(["make", "-C", NATIVE_DIR], check=True,
+                           capture_output=True)
+        except (OSError, subprocess.CalledProcessError) as e:
+            pytest.skip(f"cannot build native decoder: {e}")
+    if not dec.native_available():
+        pytest.skip("native decoder failed to load")
+
+
+def _png(arr, mode="L"):
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _jpeg(arr, mode="L", quality=95):
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode).save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def test_png_gray_exact(rng):
+    arr = rng.integers(0, 255, (96, 128), np.uint8)
+    out = dec.decode_gray_native(_png(arr))
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_png_rgb_matches_pil_luma(rng):
+    arr = rng.integers(0, 255, (64, 64, 3), np.uint8)
+    data = _png(arr, "RGB")
+    ours = dec.decode_gray_native(data)
+    ref = dec.decode_gray_pil(data)
+    # identical ITU-R 601-2 integer formula
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_jpeg_close_to_pil(rng):
+    arr = rng.integers(0, 255, (64, 64), np.uint8)
+    data = _jpeg(arr)
+    ours = dec.decode_gray_native(data)
+    ref = dec.decode_gray_pil(data)
+    assert ours.shape == ref.shape
+    # same libjpeg algorithms; allow ±1 for version differences
+    assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_garbage_returns_none():
+    assert dec.decode_gray_native(b"definitely not an image") is None
+    assert dec.decode_gray_native(b"\x89PNG\r\n\x1a\ntruncated") is None
+
+
+def test_too_large_for_buffer(rng):
+    arr = rng.integers(0, 255, (64, 64), np.uint8)
+    out = dec.decode_gray_native(_png(arr), max_side=32)
+    assert out is None  # rc=-4 buffer too small
+
+
+def test_batch_decode_parallel(rng):
+    n = 12
+    arrays = [rng.integers(0, 255, (48 + i, 64), np.uint8) for i in range(n)]
+    blobs = [_png(a) for a in arrays]
+    blobs[5] = b"corrupt"           # one failure
+    blobs[7] = None                 # one missing
+    canvas = np.zeros((n, 128, 128), np.uint8)
+    hs, ws, rcs = dec.decode_batch_native(blobs, canvas, threads=4)
+    for i, a in enumerate(arrays):
+        if i in (5, 7):
+            assert rcs[i] != 0
+            continue
+        assert rcs[i] == 0
+        assert (hs[i], ws[i]) == a.shape
+        np.testing.assert_array_equal(canvas[i, :hs[i], :ws[i]], a)
+
+
+def test_native_preferred_in_decode_gray(rng):
+    arr = rng.integers(0, 255, (32, 32), np.uint8)
+    out = dec.decode_gray(_png(arr), prefer_native=True)
+    np.testing.assert_array_equal(out, arr)
