@@ -127,6 +127,10 @@ class ModelConfig:
     param_dtype: str = "float32"
     # Gradient checkpointing (BASELINE.json configs[2], ViT-L path).
     remat: bool = False
+    # 'full' recomputes the whole block in backward; 'mlp' saves everything
+    # except the 4×-wide MLP hidden activations (cheapest recompute, biggest
+    # single memory term); 'dots' saves matmul outputs only.
+    remat_policy: str = "full"
     # Use the Pallas flash-attention kernel on TPU ('auto' falls back to the
     # XLA reference implementation on CPU).
     attention_impl: str = "auto"    # 'auto' | 'pallas' | 'xla'

@@ -1,0 +1,133 @@
+"""NaViT-style packed variable-resolution batching (BASELINE configs[4]).
+
+Multiple images of different resolutions share one token sequence,
+isolated by segment ids and block-diagonal flash attention
+(``flash_attention_packed``). Static shapes throughout: sequences are
+``seq_len`` tokens, shorter packs are padded with segment id -1.
+
+Host side (this module): greedy first-fit packing, per-image resize to its
+patch grid, patch extraction, position-index assignment into the
+concatenated multi-grid table that ``models/packed.py`` builds on device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from chestxray_vit_tpu.config import VIT_MEAN, VIT_STD
+from chestxray_vit_tpu.data import geometry as geo
+from chestxray_vit_tpu.data.pipeline import host_resize
+
+PAD_SEGMENT = -1
+
+
+def grid_table_offsets(grids: Sequence[int]) -> Dict[int, int]:
+    """Flat offsets of each grid's block inside the concatenated
+    position-embedding table [sum(g²), D]."""
+    offsets, cursor = {}, 0
+    for g in grids:
+        offsets[g] = cursor
+        cursor += g * g
+    return offsets
+
+
+def choose_grid(h: int, w: int, patch: int, grids: Sequence[int]) -> int:
+    """Pick the largest allowed grid not exceeding the image's native patch
+    capacity (min side // patch), clamped to the smallest grid."""
+    native = max(min(h, w) // patch, 1)
+    usable = [g for g in grids if g <= native]
+    return max(usable) if usable else min(grids)
+
+
+@dataclass
+class PackedBatch:
+    """Device-ready packed batch (all static shapes)."""
+    tokens: np.ndarray        # f32 [B, S, patch*patch*3] normalized patches
+    segment_ids: np.ndarray   # i32 [B, S]; PAD_SEGMENT on padding
+    pos_indices: np.ndarray   # i32 [B, S] into the concat pos table
+    pool_weights: np.ndarray  # f32 [B, max_imgs, S] mean-pool per image
+    labels: np.ndarray        # f32 [B, max_imgs, C]
+    image_mask: np.ndarray    # bool [B, max_imgs] true where a real image
+    n_images: int
+
+
+def _image_tokens(gray: np.ndarray, grid: int, patch: int
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """One image → (tokens [g², patch²·3], pos ids-in-grid [g²])."""
+    size = grid * patch
+    h, w = gray.shape
+    resized = host_resize(gray, geo.full_image_box(w, h), size)
+    x = resized.astype(np.float32) / 255.0
+    rgb = (x[..., None] - np.asarray(VIT_MEAN, np.float32)) \
+        / np.asarray(VIT_STD, np.float32)              # [size, size, 3]
+    p = rgb.reshape(grid, patch, grid, patch, 3).transpose(0, 2, 1, 3, 4)
+    tokens = p.reshape(grid * grid, patch * patch * 3)
+    pos = np.arange(grid * grid, dtype=np.int32)
+    return tokens, pos
+
+
+def pack_images(
+    images: Sequence[np.ndarray],          # u8 grayscale, any sizes
+    labels: Sequence[np.ndarray],          # [C] multi-hot each
+    patch: int = 16,
+    seq_len: int = 1152,
+    grids: Sequence[int] = (16, 24, 32),   # 256 / 384 / 512 px
+    max_imgs_per_seq: Optional[int] = None,
+) -> PackedBatch:
+    """Greedy first-fit packing of variable-resolution images into
+    fixed-length sequences."""
+    offsets = grid_table_offsets(grids)
+    num_classes = len(labels[0])
+    per_image = []
+    for img, lab in zip(images, labels):
+        g = choose_grid(img.shape[0], img.shape[1], patch, grids)
+        tokens, pos = _image_tokens(img, g, patch)
+        per_image.append((tokens, pos + offsets[g], np.asarray(lab,
+                                                               np.float32)))
+
+    # first-fit decreasing by token count
+    order = sorted(range(len(per_image)),
+                   key=lambda i: -per_image[i][0].shape[0])
+    seqs: List[List[int]] = []
+    space: List[int] = []
+    for i in order:
+        n = per_image[i][0].shape[0]
+        if n > seq_len:
+            raise ValueError(f"image {i} needs {n} tokens > seq_len {seq_len}")
+        for s, free in enumerate(space):
+            if free >= n:
+                seqs[s].append(i)
+                space[s] -= n
+                break
+        else:
+            seqs.append([i])
+            space.append(seq_len - n)
+
+    max_imgs = max_imgs_per_seq or max(len(s) for s in seqs)
+    b = len(seqs)
+    patch_dim = patch * patch * 3
+    tokens = np.zeros((b, seq_len, patch_dim), np.float32)
+    seg = np.full((b, seq_len), PAD_SEGMENT, np.int32)
+    pos = np.zeros((b, seq_len), np.int32)
+    pool = np.zeros((b, max_imgs, seq_len), np.float32)
+    labs = np.zeros((b, max_imgs, num_classes), np.float32)
+    mask = np.zeros((b, max_imgs), bool)
+
+    for s, members in enumerate(seqs):
+        cursor = 0
+        for slot, i in enumerate(members[:max_imgs]):
+            t, p, lab = per_image[i]
+            n = t.shape[0]
+            tokens[s, cursor:cursor + n] = t
+            seg[s, cursor:cursor + n] = slot
+            pos[s, cursor:cursor + n] = p
+            pool[s, slot, cursor:cursor + n] = 1.0 / n
+            labs[s, slot] = lab
+            mask[s, slot] = True
+            cursor += n
+    return PackedBatch(tokens=tokens, segment_ids=seg, pos_indices=pos,
+                       pool_weights=pool, labels=labs, image_mask=mask,
+                       n_images=len(per_image))

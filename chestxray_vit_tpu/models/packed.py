@@ -1,0 +1,109 @@
+"""Packed variable-resolution ViT forward (BASELINE configs[4]).
+
+Runs the standard ViT encoder weights over NaViT-style packed sequences
+(``data/packing.py``): several images per sequence, isolated by
+segment-masked flash attention; per-image masked mean pooling replaces the
+CLS token (padding and neighbor images contribute nothing — tested). The
+position table concatenates bicubic re-interpolations of the pretrained
+[1, S, D] embedding for every allowed grid, so @384-pretrained weights serve
+256/384/512-px images in one batch.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from chestxray_vit_tpu.config import ModelConfig
+from chestxray_vit_tpu.models import vit
+from chestxray_vit_tpu.ops.flash_attention import (
+    attention_xla_packed,
+    flash_attention_packed,
+)
+
+
+def build_pos_table(params, cfg: ModelConfig,
+                    grids: Sequence[int]) -> jax.Array:
+    """Concatenated patch-position table [sum(g²), D] over allowed grids,
+    each block a bicubic re-interpolation of the pretrained embedding."""
+    blocks = []
+    for g in grids:
+        pe = vit.interpolate_pos_embed(params["pos_embed"], g * g + 1)
+        blocks.append(pe[0, 1:])              # drop CLS slot
+    return jnp.concatenate(blocks, axis=0)
+
+
+def _packed_mha(x, bp, cfg: ModelConfig, seg_ids):
+    b, s, d = x.shape
+    h, hd = cfg.num_heads, cfg.head_dim
+    heads = lambda t: t.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+    q = heads(jnp.dot(x, bp["wq"]["kernel"]) + bp["wq"]["bias"])
+    k = heads(jnp.dot(x, bp["wk"]["kernel"]) + bp["wk"]["bias"])
+    v = heads(jnp.dot(x, bp["wv"]["kernel"]) + bp["wv"]["bias"])
+    if cfg.attention_impl == "pallas" or (
+            cfg.attention_impl == "auto" and jax.default_backend() == "tpu"):
+        o = flash_attention_packed(q, k, v, seg_ids)
+    else:
+        o = attention_xla_packed(q, k, v, seg_ids)
+    o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
+    return jnp.dot(o, bp["wo"]["kernel"]) + bp["wo"]["bias"]
+
+
+def apply_packed(params, tokens: jax.Array, segment_ids: jax.Array,
+                 pos_indices: jax.Array, pool_weights: jax.Array,
+                 cfg: ModelConfig, grids: Sequence[int] = (16, 24, 32)
+                 ) -> jax.Array:
+    """Packed forward: [B, S, patch_dim] tokens → [B, max_imgs, C] logits.
+
+    Shares all weights with :func:`vit.apply` except the CLS token (pooled
+    instead). Encoder runs under ``lax.scan`` like the dense path.
+    """
+    compute_dtype = jnp.dtype(cfg.dtype)
+    pe = params["patch_embed"]
+    x = jnp.dot(tokens.astype(compute_dtype),
+                pe["kernel"].astype(compute_dtype)) \
+        + pe["bias"].astype(compute_dtype)
+
+    table = build_pos_table(params, cfg, grids).astype(compute_dtype)
+    pos = jnp.take(table, pos_indices, axis=0)         # [B, S, D]
+    valid = (segment_ids >= 0)[..., None].astype(compute_dtype)
+    x = (x + pos) * valid
+
+    blocks = jax.tree.map(lambda a: a.astype(compute_dtype),
+                          params["blocks"])
+
+    def body(carry, bp):
+        x = carry
+        a_in = vit.layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"],
+                              cfg.layernorm_eps)
+        x = x + _packed_mha(a_in, bp, cfg, segment_ids)
+        m_in = vit.layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
+                              cfg.layernorm_eps)
+        mid = jax.nn.gelu(jnp.dot(m_in, bp["mlp_in"]["kernel"])
+                          + bp["mlp_in"]["bias"], approximate=False)
+        x = x + jnp.dot(mid, bp["mlp_out"]["kernel"]) + bp["mlp_out"]["bias"]
+        return x, None
+
+    fn = jax.checkpoint(body, prevent_cse=False) if cfg.remat else body
+    x, _ = jax.lax.scan(fn, x, blocks)
+
+    fl = params["final_ln"]
+    x = vit.layer_norm(x, fl["scale"], fl["bias"], cfg.layernorm_eps)
+    pooled = jnp.einsum("bms,bsd->bmd", pool_weights.astype(jnp.float32),
+                        x.astype(jnp.float32))          # [B, M, D]
+    head = params["head"]
+    return (jnp.dot(pooled, head["kernel"].astype(jnp.float32))
+            + head["bias"].astype(jnp.float32))         # [B, M, C]
+
+
+def packed_bce_loss(logits: jax.Array, labels: jax.Array,
+                    image_mask: jax.Array) -> jax.Array:
+    """Mean BCE over real images only (pad slots masked out)."""
+    x = logits.astype(jnp.float32)
+    z = labels.astype(jnp.float32)
+    per = jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    m = image_mask[..., None].astype(jnp.float32)       # [B, M, 1]
+    # mean over (real images × classes), matching BCEWithLogits' mean
+    return jnp.sum(per * m) / jnp.maximum(jnp.sum(m) * x.shape[-1], 1.0)

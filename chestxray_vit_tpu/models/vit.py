@@ -22,10 +22,12 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 from chestxray_vit_tpu.config import ModelConfig
 from chestxray_vit_tpu.ops.flash_attention import attention, attention_xla
+from chestxray_vit_tpu.ops.layer_norm import layer_norm as _layer_norm_op
 
 Params = Dict[str, Any]
 
@@ -76,16 +78,9 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> Params:
 # Building blocks
 # ---------------------------------------------------------------------------
 
-def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
-               eps: float) -> jax.Array:
-    """LayerNorm in f32 (bf16 inputs are upcast; HF eps 1e-12)."""
-    dtype = x.dtype
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.var(x32, axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    return (y * scale.astype(jnp.float32)
-            + bias.astype(jnp.float32)).astype(dtype)
+# Memory-lean custom-VJP LayerNorm (f32 stats, HF eps 1e-12; saves only the
+# bf16 input instead of f32 intermediates — see ops/layer_norm.py).
+layer_norm = _layer_norm_op
 
 
 def _linear(x, p):
@@ -154,6 +149,8 @@ def _block(x: jax.Array, bp: Params, cfg: ModelConfig, attn_impl: str,
     x = x + attn_out
     m_in = layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"], eps)
     hmid = jax.nn.gelu(_linear(m_in, bp["mlp_in"]), approximate=False)
+    # named for the selective 'mlp' remat policy (see apply())
+    hmid = jax.ad_checkpoint.checkpoint_name(hmid, "mlp_hidden")
     mlp_out = _linear(hmid, bp["mlp_out"])
     mlp_out = _dropout(mlp_out, cfg.hidden_dropout, dropout_rng, train, 1)
     return x + mlp_out
@@ -199,7 +196,14 @@ def apply(params: Params, images: jax.Array, cfg: ModelConfig, *,
 
     body = scan_body
     if cfg.remat:
-        body = jax.checkpoint(scan_body, prevent_cse=False)
+        if cfg.remat_policy == "mlp":
+            policy = jax.checkpoint_policies.save_anything_except_these_names(
+                "mlp_hidden")
+        elif cfg.remat_policy == "dots":
+            policy = jax.checkpoint_policies.checkpoint_dots
+        else:
+            policy = None
+        body = jax.checkpoint(scan_body, policy=policy, prevent_cse=False)
     (x, _), _ = jax.lax.scan(body, (x, rng), blocks)
 
     fl = params["final_ln"]
@@ -260,6 +264,40 @@ def apply_with_attention(params: Params, images: jax.Array,
         x, probs = run_block(x, bp, cfg, return_probs=True)
         all_probs.append(probs)
     return head_logits(params, x, cfg), jnp.stack(all_probs)
+
+
+def interpolate_pos_embed(pos_embed: jax.Array, new_seq_len: int
+                          ) -> jax.Array:
+    """Resize learned position embeddings to a new patch grid.
+
+    [1, S_old, D] → [1, S_new, D]: the CLS slot is kept, the patch grid is
+    bicubic-resampled (HF `interpolate_pos_encoding` semantics) — how the
+    high-res @512 configs reuse @384 pretrained weights (1025 = 32² + 1
+    tokens from 577 = 24² + 1)."""
+    cls_tok, grid = pos_embed[:, :1], pos_embed[:, 1:]
+    g_old = int(grid.shape[1] ** 0.5)
+    g_new = int((new_seq_len - 1) ** 0.5)
+    if g_new * g_new != new_seq_len - 1:
+        raise ValueError(f"seq_len {new_seq_len} is not grid² + 1")
+    if g_new == g_old:
+        return pos_embed
+    d = grid.shape[-1]
+    resized = jax.image.resize(
+        grid.reshape(1, g_old, g_old, d).astype(jnp.float32),
+        (1, g_new, g_new, d), method="bicubic")
+    resized = resized.reshape(1, g_new * g_new, d).astype(pos_embed.dtype)
+    return jnp.concatenate([cls_tok, resized], axis=1)
+
+
+def adapt_params_to_img_size(params: Params, cfg: ModelConfig) -> Params:
+    """Return params with position embeddings matched to cfg.img_size
+    (no-op when they already match)."""
+    target = cfg.seq_len
+    if params["pos_embed"].shape[1] == target:
+        return params
+    out = dict(params)
+    out["pos_embed"] = interpolate_pos_embed(params["pos_embed"], target)
+    return out
 
 
 def nchw_to_nhwc(x: jax.Array) -> jax.Array:

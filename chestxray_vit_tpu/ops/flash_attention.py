@@ -49,16 +49,78 @@ def _pad_len(s: int, block: int) -> int:
 # Forward kernel
 # ---------------------------------------------------------------------------
 
+def _segment_mask(sq, sk):
+    """[bq] , [S_pad] segment ids → [bq, S_pad] same-segment mask."""
+    return sq[:, None] == sk[None, :]
+
+
+def _fwd_kernel_seg(q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref, lse_ref, *,
+                    sm_scale: float):
+    """Segment-masked forward: attention only within equal segment ids
+    (block-diagonal attention for NaViT-style packed batching)."""
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+    mask = _segment_mask(sq_ref[0], sk_ref[0])
+    s = jnp.where(mask, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32) / l
+    o_ref[0] = o.astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l)).astype(jnp.float32)
+
+
+def _bwd_kernel_seg(q_ref, k_ref, v_ref, sq_ref, sk_ref, do_ref, o_ref,
+                    lse_ref, dq_ref, dk_ref, dv_ref, *, sm_scale: float):
+    qi = pl.program_id(1)
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    do, o, lse = do_ref[0], o_ref[0], lse_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+    mask = _segment_mask(sq_ref[0], sk_ref[0])
+    s = jnp.where(mask, s, _NEG_INF)
+    p = jnp.exp(s - lse)
+    p_lo = p.astype(v.dtype)
+    dv_part = jax.lax.dot_general(
+        p_lo, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)
+    ds = (p * (dp - delta) * sm_scale)
+    ds_lo = ds.astype(q.dtype)
+    dq_ref[0] = jnp.dot(ds_lo, k, preferred_element_type=jnp.float32
+                        ).astype(dq_ref.dtype)
+    dk_part = jax.lax.dot_general(
+        ds_lo, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    dk_ref[0] += dk_part.astype(dk_ref.dtype)
+    dv_ref[0] += dv_part.astype(dv_ref.dtype)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, seq_len: int,
                 sm_scale: float):
-    q = q_ref[0].astype(jnp.float32)              # [bq, d]
-    k = k_ref[0].astype(jnp.float32)              # [S_pad, d]
-    v = v_ref[0].astype(jnp.float32)              # [S_pad, d]
+    # Dots take the input dtype (bf16 on the training path) so the MXU runs
+    # native bf16 passes with f32 accumulation; softmax math stays f32.
+    q = q_ref[0]                                   # [bq, d]
+    k = k_ref[0]                                   # [S_pad, d]
+    v = v_ref[0]                                   # [S_pad, d]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * sm_scale                                   # [bq, S_pad]
+    ) * sm_scale                                   # [bq, S_pad] f32
 
     s_pad = k.shape[0]
     if seq_len < s_pad:
@@ -68,7 +130,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, seq_len: int,
     m = jnp.max(s, axis=-1, keepdims=True)         # [bq, 1]
     p = jnp.exp(s - m)                             # [bq, S_pad]
     l = jnp.sum(p, axis=-1, keepdims=True)         # [bq, 1]
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32) / l
+    o = jnp.dot(p.astype(v.dtype), v,
+                preferred_element_type=jnp.float32) / l
     o_ref[0] = o.astype(o_ref.dtype)
     lse_ref[0] = (m + jnp.log(l)).astype(jnp.float32)  # [bq, 1]
 
@@ -122,40 +185,43 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                 dq_ref, dk_ref, dv_ref, *, seq_len: int, sm_scale: float):
     qi = pl.program_id(1)
 
-    q = q_ref[0].astype(jnp.float32)               # [bq, d]
-    k = k_ref[0].astype(jnp.float32)               # [S_pad, d]
-    v = v_ref[0].astype(jnp.float32)               # [S_pad, d]
-    do = do_ref[0].astype(jnp.float32)             # [bq, d]
-    o = o_ref[0].astype(jnp.float32)               # [bq, d]
+    q = q_ref[0]                                   # [bq, d]
+    k = k_ref[0]                                   # [S_pad, d]
+    v = v_ref[0]                                   # [S_pad, d]
+    do = do_ref[0]                                 # [bq, d]
+    o = o_ref[0]                                   # [bq, d]
     lse = lse_ref[0]                               # [bq, 1] f32
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * sm_scale                                   # [bq, S_pad]
+    ) * sm_scale                                   # [bq, S_pad] f32
     s_pad = k.shape[0]
     if seq_len < s_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < seq_len, s, _NEG_INF)
-    p = jnp.exp(s - lse)                           # [bq, S_pad]
+    p = jnp.exp(s - lse)                           # [bq, S_pad] f32
+    p_lo = p.astype(v.dtype)
 
     # dV += Pᵀ dO
     dv_part = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())),
+        p_lo, do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                              # [S_pad, d]
     # dP = dO Vᵀ ; delta = rowsum(dO ∘ O)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                              # [bq, S_pad]
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)  # [bq, 1]
-    ds = p * (dp - delta) * sm_scale               # [bq, S_pad]
+    )                                              # [bq, S_pad] f32
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)        # [bq, 1]
+    ds = (p * (dp - delta) * sm_scale)             # [bq, S_pad] f32
+    ds_lo = ds.astype(q.dtype)
 
-    dq_ref[0] = jnp.dot(ds, k, preferred_element_type=jnp.float32
+    dq_ref[0] = jnp.dot(ds_lo, k, preferred_element_type=jnp.float32
                         ).astype(dq_ref.dtype)
     dk_part = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())),
+        ds_lo, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                              # [S_pad, d]
 
@@ -203,6 +269,128 @@ def _bwd(q, k, v, do, o, lse, seq_len: int, sm_scale: float, block_q: int):
         interpret=_interpret(),
     )(q, k, v, do, o, lse)
     return dq, dk.astype(q.dtype), dv.astype(q.dtype)
+
+
+def _fwd_seg(q, k, v, seg, sm_scale: float, block_q: int):
+    bh, s_pad, d = q.shape
+    grid = (bh, s_pad // block_q)
+    kernel = functools.partial(_fwd_kernel_seg, sm_scale=sm_scale)
+    qspec = pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, s_pad, d), lambda b, i: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    sqspec = pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+                          memory_space=pltpu.VMEM)
+    skspec = pl.BlockSpec((1, s_pad), lambda b, i: (b, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[qspec, kvspec, kvspec, sqspec, skspec],
+        out_specs=[qspec,
+                   pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
+                   jax.ShapeDtypeStruct((bh, s_pad, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(q, k, v, seg, seg)
+
+
+def _bwd_seg(q, k, v, seg, do, o, lse, sm_scale: float, block_q: int):
+    bh, s_pad, d = q.shape
+    grid = (bh, s_pad // block_q)
+    kernel = functools.partial(_bwd_kernel_seg, sm_scale=sm_scale)
+    qspec = pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, s_pad, d), lambda b, i: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    sqspec = pl.BlockSpec((1, block_q), lambda b, i: (b, i),
+                          memory_space=pltpu.VMEM)
+    skspec = pl.BlockSpec((1, s_pad), lambda b, i: (b, 0),
+                          memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[qspec, kvspec, kvspec, sqspec, skspec, qspec, qspec,
+                  lspec],
+        out_specs=[qspec, kvspec, kvspec],
+        out_shape=[jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
+                   jax.ShapeDtypeStruct((bh, s_pad, d), jnp.float32),
+                   jax.ShapeDtypeStruct((bh, s_pad, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(q, k, v, seg, seg, do, o, lse)
+    return dq, dk.astype(q.dtype), dv.astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def flash_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
+                           segment_ids: jax.Array,
+                           sm_scale: float | None = None,
+                           block_q: int = DEFAULT_BLOCK_Q) -> jax.Array:
+    """Segment-masked (block-diagonal) fused attention for packed batches.
+
+    q/k/v: [batch, heads, seq, head_dim]; segment_ids: int32 [batch, seq] —
+    token i attends token j iff their segment ids are equal. Pad slots
+    should carry a dedicated id (e.g. -1); they only attend each other.
+    NaViT-style packing (BASELINE configs[4]): several variable-resolution
+    images share one sequence, isolated by the mask.
+    """
+    out, _ = _flash_packed_fwd_rule(q, k, v, segment_ids, sm_scale, block_q)
+    return out
+
+
+def _seg_prep(seg: jax.Array, heads: int, s_pad: int) -> jax.Array:
+    b, s = seg.shape
+    if s != s_pad:
+        seg = jnp.pad(seg, ((0, 0), (0, s_pad - s)), constant_values=-1)
+    return jnp.repeat(seg.astype(jnp.int32), heads, axis=0)   # [B*H, S_pad]
+
+
+def _flash_packed_fwd_rule(q, k, v, segment_ids, sm_scale, block_q):
+    b, h, s, d = q.shape
+    scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+    s_pad = _pad_len(s, block_q)
+    qp, kp, vp = (_prep(x, s_pad) for x in (q, k, v))
+    seg = _seg_prep(segment_ids, h, s_pad)
+    out, lse = _fwd_seg(qp, kp, vp, seg, scale, block_q)
+    o = out[:, :s, :].reshape(b, h, s, d)
+    return o, (qp, kp, vp, seg, out, lse, (b, h, s, d))
+
+
+def _flash_packed_bwd_rule(sm_scale, block_q, res, g):
+    import numpy as _np
+
+    qp, kp, vp, seg, out, lse, (b, h, s, d) = res
+    scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+    s_pad = qp.shape[1]
+    gp = _prep(g.astype(qp.dtype), s_pad)
+    dq, dk, dv = _bwd_seg(qp, kp, vp, seg, gp, out, lse, scale, block_q)
+    unprep = lambda x: x[:, :s, :].reshape(b, h, s, d)
+    dseg = _np.zeros((b, s), dtype=jax.dtypes.float0)
+    return unprep(dq), unprep(dk), unprep(dv), dseg
+
+
+flash_attention_packed.defvjp(_flash_packed_fwd_rule,
+                              _flash_packed_bwd_rule)
+
+
+def attention_xla_packed(q, k, v, segment_ids, sm_scale=None):
+    """XLA oracle for the packed kernel."""
+    d = q.shape[-1]
+    scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    mask = segment_ids[:, None, :, None] == segment_ids[:, None, None, :]
+    s = jnp.where(mask, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,92 @@
+"""Multi-host SPMD utilities.
+
+The reference is strictly single-host (one ``xmp.spawn`` over 8 local cores,
+pyc L515); its only cross-process synchronization is the
+``xm.rendezvous('download_only_once')`` barrier pair
+(/root/reference/ViT-Training.py:35-49). TPU-native scaling instead runs one
+process per host over a global mesh: ``jax.distributed.initialize`` wires the
+hosts, shardings place the global batch, and barriers come from
+``multihost_utils`` (SURVEY §5 'Distributed communication backend').
+
+Everything here degrades to a no-op on a single host, so the same trainer
+code runs everywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Initialize multi-host JAX. No-ops when already initialized or when
+    the env provides no cluster (single-host dev boxes, CI)."""
+    if jax.process_count() > 1:
+        return
+    try:
+        kwargs = {}
+        if coordinator_address:
+            kwargs = dict(coordinator_address=coordinator_address,
+                          num_processes=num_processes,
+                          process_id=process_id)
+        jax.distributed.initialize(**kwargs)
+    except Exception as e:                              # noqa: BLE001
+        # single-host fallback (the reference's default world too)
+        if coordinator_address:
+            raise
+        print(f"[distributed] single-host mode ({e})")
+
+
+def is_primary() -> bool:
+    """The 'rank 0 only' gate (pyc L481: save/log on master ordinal)."""
+    return jax.process_index() == 0
+
+
+def barrier(name: str = "barrier") -> None:
+    """xm.rendezvous equivalent; no-op on one process."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
+
+
+def host_shard_range(n: int) -> range:
+    """Which global sample indices this host loads: contiguous shard of the
+    global batch. Each host decodes only its slice; the global array is
+    assembled from per-host shards without any cross-host copy."""
+    per = n // jax.process_count()
+    start = jax.process_index() * per
+    return range(start, start + per)
+
+
+def form_global_batch(mesh: Mesh, host_batch: Dict[str, np.ndarray]
+                      ) -> Dict[str, jax.Array]:
+    """Per-host local batch shards → one global sharded batch.
+
+    On a single process this is a plain device_put; multi-host it uses
+    ``host_local_array_to_global_array`` so each host contributes its local
+    slice of the data axis.
+    """
+    spec = P(("data", "fsdp"))
+    if jax.process_count() == 1:
+        sh = NamedSharding(mesh, spec)
+        return {k: jax.device_put(v, sh) for k, v in host_batch.items()}
+    from jax.experimental import multihost_utils
+    to_global = functools.partial(
+        multihost_utils.host_local_array_to_global_array,
+        global_mesh=mesh, pspec=spec)
+    return {k: to_global(v) for k, v in host_batch.items()}
+
+
+def process_allgather(x):
+    """Gather a host-local array across processes (eval logit collection on
+    multi-host; identity on one process)."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x))

@@ -67,6 +67,53 @@ def test_parity_param_count_matches_torch():
     assert vit.num_params(params) == n_torch
 
 
+def test_gradient_parity_with_torch():
+    """End-to-end gradient check vs torch autograd through the whole model
+    (BCE loss), covering the custom-VJP LayerNorm and flash-attention VJP
+    wiring inside scan."""
+    cfg = ModelConfig(img_size=32, patch_size=16, hidden_size=64,
+                      num_layers=2, num_heads=4, mlp_dim=128,
+                      num_classes=5, dtype="float32", attention_impl="xla")
+    model, params = _make_pair(cfg)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    y = (rng.random((2, 5)) < 0.4).astype(np.float32)
+
+    tx = torch.from_numpy(x)
+    out = model(pixel_values=tx).logits
+    loss = torch.nn.BCEWithLogitsLoss()(out, torch.from_numpy(y))
+    loss.backward()
+    tgrads = {n: p.grad.numpy() for n, p in model.named_parameters()}
+
+    import jax
+    from chestxray_vit_tpu.train.steps import bce_with_logits
+
+    def loss_fn(params):
+        logits = vit.apply(params, vit.nchw_to_nhwc(jnp.asarray(x)), cfg)
+        return bce_with_logits(logits, jnp.asarray(y))
+
+    assert abs(float(loss_fn(params)) - float(loss)) < 1e-6
+    grads = jax.grad(loss_fn)(params)
+
+    checks = [
+        (grads["head"]["kernel"], tgrads["classifier.weight"].T),
+        (grads["final_ln"]["scale"], tgrads["vit.layernorm.weight"]),
+        (grads["cls_token"], tgrads["vit.embeddings.cls_token"]),
+        (grads["patch_embed"]["kernel"],
+         tgrads["vit.embeddings.patch_embeddings.projection.weight"]
+         .transpose(2, 3, 1, 0).reshape(-1, 64)),
+        (grads["blocks"]["wq"]["kernel"][0],
+         tgrads["vit.encoder.layer.0.attention.attention.query.weight"].T),
+        (grads["blocks"]["ln1"]["scale"][1],
+         tgrads["vit.encoder.layer.1.layernorm_before.weight"]),
+        (grads["blocks"]["mlp_in"]["kernel"][0],
+         tgrads["vit.encoder.layer.0.intermediate.dense.weight"].T),
+    ]
+    for ours, ref in checks:
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5,
+                                   rtol=1e-4)
+
+
 def test_remat_and_scan_same_logits():
     cfg = ModelConfig(img_size=32, patch_size=16, hidden_size=64,
                       num_layers=2, num_heads=4, mlp_dim=128,
