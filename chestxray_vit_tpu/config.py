@@ -61,8 +61,10 @@ class DataConfig:
 
     # Storage backend: 'gcs' streams from a bucket like the reference;
     # 'local' reads the same layout from a directory; 'memory' is the
-    # in-process fake store used by tests.
+    # in-process fake store used by tests; 'hf_dataset' loads a prepackaged
+    # HF dataset (the Version A path, ViT-Training.py:38).
     backend: str = "local"
+    hf_dataset_name: str = "kerem/nih-chest-xray-14"   # ViT-Training.py:159
     gcp_project_id: str = ""
     gcs_bucket_name: str = ""
     gcs_image_base_prefix: str = ""

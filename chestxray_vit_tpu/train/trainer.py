@@ -33,9 +33,26 @@ from chestxray_vit_tpu.utils.profiling import StepProfiler
 
 class Trainer:
     def __init__(self, cfg: Config, store: Optional[Store] = None,
-                 pretrained: bool = True):
+                 pretrained: bool = True, datasets=None):
+        """``datasets`` optionally injects (train, val, test, classes)
+        loader adapters directly (any objects satisfying the
+        ``iterate_batches`` protocol) — used by the hf_dataset backend and
+        tests."""
         self.cfg = cfg
-        self.bundle = pipe.build_datasets(cfg.data, store=store)
+        if datasets is None and cfg.data.backend == "hf_dataset":
+            from chestxray_vit_tpu.data.hf_datasets import load_hf_dataset
+            datasets = load_hf_dataset(cfg.data.hf_dataset_name,
+                                       img_size=cfg.model.img_size,
+                                       augment_train=cfg.data.augment)
+        if datasets is not None:
+            train, val, test, classes = datasets
+            self.bundle = pipe.DatasetBundle(
+                train=train, val=val, test=test, classes=list(classes),
+                blob_map={}, store=store)
+            self._adapters = True
+        else:
+            self.bundle = pipe.build_datasets(cfg.data, store=store)
+            self._adapters = False
         # NUM_CLASSES is data-derived, like the reference (pyc L174)
         cfg.model.num_classes = len(self.bundle.classes)
 
@@ -83,7 +100,9 @@ class Trainer:
     # data plumbing
     # ------------------------------------------------------------------
 
-    def _loader(self, index, augment: bool) -> pipe.SampleLoader:
+    def _loader(self, index, augment: bool):
+        if self._adapters:
+            return index          # adapter already implements the protocol
         return pipe.SampleLoader(
             index, self.bundle.blob_map, self.bundle.store,
             img_size=self.cfg.model.img_size,

@@ -76,6 +76,36 @@ def test_resize_center_crop_semantics():
     assert out[:, :8].mean() < 64 and out[:, -8:].mean() > 192
 
 
+def test_trainer_with_hf_adapters(tmp_path, hf_ds):
+    """Version A end-to-end: HF dataset adapters through the full Trainer."""
+    from chestxray_vit_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from chestxray_vit_tpu.data.hf_datasets import split_hf_dataset
+    from chestxray_vit_tpu.train.trainer import Trainer
+
+    tr_ds, va_ds, te_ds = split_hf_dataset(hf_ds)
+    mk = lambda split, aug: HFDatasetAdapter(split, CLASSES, img_size=32,
+                                             augment=aug)
+    cfg = Config(
+        data=DataConfig(backend="hf_dataset", augment=True),
+        model=ModelConfig(img_size=32, patch_size=16, hidden_size=64,
+                          num_layers=2, num_heads=4, mlp_dim=128,
+                          dtype="float32", attention_impl="xla"),
+        train=TrainConfig(batch_size_per_core=2, max_steps=3,
+                          eval_strategy="no", save_strategy="steps",
+                          save_steps=100, load_best_model_at_end=False,
+                          logging_steps=1, report_to="none",
+                          output_dir=str(tmp_path / "out")))
+    trainer = Trainer(cfg, pretrained=False,
+                      datasets=(mk(tr_ds, True), mk(va_ds, False),
+                                mk(te_ds, False), CLASSES))
+    assert cfg.model.num_classes == 4
+    trainer.train()
+    assert int(trainer.state.step) == 3
+    ev = trainer.evaluate()
+    assert "avg_auroc" in ev and "f1_micro" in ev
+    trainer.close()
+
+
 def test_string_labels(hf_ds):
     ad = HFDatasetAdapter(hf_ds, CLASSES, img_size=32)
     row = {"image": Image.fromarray(np.zeros((32, 32), np.uint8), "L"),
