@@ -1,0 +1,72 @@
+"""Native → HF weight export (inverse of import_hf).
+
+Lets a model fine-tuned in this framework be loaded back into HF
+``ViTForImageClassification`` (torch) — the interop surface reference users
+expect when switching stacks. Exact inverse of
+``import_hf.params_from_hf_state_dict``'s layout transforms.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def hf_state_dict_from_params(params: Mapping[str, Any],
+                              patch_size: int = 16) -> Dict[str, np.ndarray]:
+    """Our pytree → HF ViTForImageClassification state dict (numpy)."""
+    p = {k: np.asarray(v) for k, v in _flatten(params).items()}
+    d = p["patch_embed/kernel"].shape[1]
+    sd: Dict[str, np.ndarray] = {}
+
+    conv = p["patch_embed/kernel"].reshape(patch_size, patch_size, 3, d)
+    sd["vit.embeddings.patch_embeddings.projection.weight"] = \
+        conv.transpose(3, 2, 0, 1)
+    sd["vit.embeddings.patch_embeddings.projection.bias"] = \
+        p["patch_embed/bias"]
+    sd["vit.embeddings.cls_token"] = p["cls_token"]
+    sd["vit.embeddings.position_embeddings"] = p["pos_embed"]
+    sd["vit.layernorm.weight"] = p["final_ln/scale"]
+    sd["vit.layernorm.bias"] = p["final_ln/bias"]
+    sd["classifier.weight"] = p["head/kernel"].T
+    sd["classifier.bias"] = p["head/bias"]
+
+    l = p["blocks/wq/kernel"].shape[0]
+    pairs = [
+        ("attention.attention.query", "wq"),
+        ("attention.attention.key", "wk"),
+        ("attention.attention.value", "wv"),
+        ("attention.output.dense", "wo"),
+        ("intermediate.dense", "mlp_in"),
+        ("output.dense", "mlp_out"),
+    ]
+    for i in range(l):
+        base = f"vit.encoder.layer.{i}"
+        for hf_name, ours in pairs:
+            sd[f"{base}.{hf_name}.weight"] = p[f"blocks/{ours}/kernel"][i].T
+            sd[f"{base}.{hf_name}.bias"] = p[f"blocks/{ours}/bias"][i]
+        sd[f"{base}.layernorm_before.weight"] = p["blocks/ln1/scale"][i]
+        sd[f"{base}.layernorm_before.bias"] = p["blocks/ln1/bias"][i]
+        sd[f"{base}.layernorm_after.weight"] = p["blocks/ln2/scale"][i]
+        sd[f"{base}.layernorm_after.bias"] = p["blocks/ln2/bias"][i]
+    return sd
+
+
+def save_safetensors(path: str, params: Mapping[str, Any],
+                     patch_size: int = 16) -> None:
+    from safetensors.numpy import save_file
+    sd = {k: np.ascontiguousarray(v.astype(np.float32))
+          for k, v in hf_state_dict_from_params(params, patch_size).items()}
+    save_file(sd, path)
+
+
+def _flatten(tree: Mapping[str, Any], prefix: str = "") -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, Mapping):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = v
+    return out

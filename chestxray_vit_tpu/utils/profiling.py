@@ -22,9 +22,17 @@ class StepProfiler:
             os.path.abspath(os.path.expanduser(output_dir)), "profile")
         self.window = tuple(profile_steps) if profile_steps else None
         self._active = False
+        # Tunneled PJRT plugins (remote chips) have no local profiler
+        # endpoint — jax.profiler.start_trace hangs rather than failing.
+        self._supported = "axon" not in str(
+            getattr(jax.config, "jax_platforms", "") or "")
+        if self.window and not self._supported:
+            print("[profiling] device tracing unsupported on this platform; "
+                  "profile_steps ignored")
 
     def maybe_start(self, step: int) -> None:
-        if self.window and not self._active and step == self.window[0]:
+        if (self.window and self._supported and not self._active
+                and step == self.window[0]):
             os.makedirs(self.trace_dir, exist_ok=True)
             jax.profiler.start_trace(self.trace_dir)
             self._active = True

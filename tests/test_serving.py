@@ -134,3 +134,22 @@ def test_predictor_save_load_roundtrip(tmp_path, rng):
     blob = _png(rng.integers(0, 255, (64, 64), np.uint8))
     out = pred.predict_bytes([blob])
     assert out.probs.shape == (1, 5)
+
+
+def test_visualize_overlay_and_panel(tmp_path, rng):
+    from chestxray_vit_tpu.serve import visualize as V
+    gray = rng.integers(0, 255, (64, 64), np.uint8)
+    sal = rng.random((4, 4)).astype(np.float32)
+    out = V.overlay_heatmap(gray, sal)
+    assert out.shape == (64, 64, 3) and out.dtype == np.uint8
+    p1 = V.save_overlay(str(tmp_path / "ov.png"), gray, sal)
+    p2 = V.save_prediction_panel(
+        str(tmp_path / "panel.png"), gray, sal,
+        [{"label": "Mass", "probability": 0.9}])
+    import os
+    assert os.path.exists(p1) and os.path.exists(p2)
+    # upsample is monotone: hottest grid cell stays hottest region
+    gy, gx = np.unravel_index(sal.argmax(), sal.shape)
+    up = V._bilinear_upsample(sal, 64, 64)
+    uy, ux = np.unravel_index(up.argmax(), up.shape)
+    assert abs(uy // 16 - gy) <= 1 and abs(ux // 16 - gx) <= 1
