@@ -25,8 +25,11 @@ def main() -> None:
     from chestxray_vit_tpu.train import steps as S
 
     n_chips = len(jax.devices())
-    batch_per_chip = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    cfg = Config(model=ModelConfig(num_classes=15), train=TrainConfig())
+    batch_per_chip = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    # batch 64/chip with scan rematerialization + the single-Q-block Pallas
+    # flash kernel is the measured sweet spot on v5e (see BENCH_NOTES.md).
+    cfg = Config(model=ModelConfig(num_classes=15, remat=batch_per_chip > 32),
+                 train=TrainConfig())
 
     mesh = mesh_lib.build_mesh()
     params = vit.init_params(jax.random.key(0), cfg.model)
@@ -52,11 +55,16 @@ def main() -> None:
         state, m = step(state, batch)
         float(m["loss"])
 
-    iters = 20
+    # shallow pipelining: sync every 8 steps (deep queues are pathological
+    # on this platform; a depth-8 window is measured safe and overlaps the
+    # dispatch round-trip — real training syncs at logging steps anyway).
+    iters = 24
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for i in range(iters):
         state, m = step(state, batch)
-        float(m["loss"])
+        if (i + 1) % 8 == 0:
+            float(m["loss"])
+    float(m["loss"])
     dt = (time.perf_counter() - t0) / iters
 
     img_per_sec_chip = b / dt / n_chips

@@ -463,8 +463,16 @@ def attention_xla(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def attention(q: jax.Array, k: jax.Array, v: jax.Array,
-              impl: str = "auto") -> jax.Array:
-    """Dispatch: Pallas kernel on TPU, XLA elsewhere (or forced)."""
+              impl: str = "auto", block_q: int = 0) -> jax.Array:
+    """Dispatch: Pallas kernel on TPU, XLA elsewhere (or forced).
+
+    ``block_q=0`` picks a block automatically: the whole (padded) sequence
+    when it fits one grid step comfortably (ViT-scale lengths — fewer grid
+    invocations, dK/dV accumulation collapses), else 128-row blocks.
+    """
     if impl == "pallas" or (impl == "auto" and jax.default_backend() == "tpu"):
-        return flash_attention(q, k, v)
+        if block_q == 0:
+            s_pad = _pad_len(q.shape[2], DEFAULT_BLOCK_Q)
+            block_q = s_pad if s_pad <= 1024 else DEFAULT_BLOCK_Q
+        return flash_attention(q, k, v, None, block_q)
     return attention_xla(q, k, v)

@@ -118,6 +118,45 @@ def make_eval_step(cfg: Config) -> Callable[[Params, Dict[str, jax.Array]],
     return eval_step
 
 
+def make_packed_train_step(cfg: Config, total_steps: int,
+                           grids=(16, 24, 32)):
+    """Train step over NaViT-style packed batches (BASELINE configs[4]):
+    same optimizer stack, segment-masked flash attention, per-image masked
+    BCE. Batch dict: tokens / segment_ids / pos_indices / pool_weights /
+    labels / image_mask (see data/packing.py)."""
+    from chestxray_vit_tpu.models import packed as packed_model
+
+    schedule = opt.SCHEDULES[cfg.train.lr_schedule](
+        cfg.train.learning_rate, total_steps, cfg.train.warmup_steps)
+    adamw_cfg = opt.AdamWConfig(
+        b1=cfg.train.adam_b1, b2=cfg.train.adam_b2, eps=cfg.train.adam_eps,
+        weight_decay=cfg.train.weight_decay,
+        max_grad_norm=cfg.train.max_grad_norm)
+
+    def loss_fn(params, batch):
+        logits = packed_model.apply_packed(
+            params, batch["tokens"], batch["segment_ids"],
+            batch["pos_indices"], batch["pool_weights"], cfg.model, grids)
+        return packed_model.packed_bce_loss(
+            logits, batch["labels"], batch["image_mask"])
+
+    def train_step(state: TrainState, batch):
+        rng, _ = jax.random.split(state.rng)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        grads, grad_norm = opt.clip_by_global_norm(
+            grads, adamw_cfg.max_grad_norm)
+        lr = schedule(state.step)
+        decay_mask = opt.default_decay_mask(state.params)
+        new_params, new_opt = opt.adamw_update(
+            grads, state.opt_state, state.params, state.step, lr,
+            adamw_cfg, decay_mask)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               opt_state=new_opt, rng=rng)
+        return new_state, {"loss": loss, "grad_norm": grad_norm, "lr": lr}
+
+    return train_step
+
+
 # ---------------------------------------------------------------------------
 # Sharded jit wrappers
 # ---------------------------------------------------------------------------

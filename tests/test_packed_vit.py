@@ -127,3 +127,29 @@ def test_packed_loss_and_grad(rng):
     gnorm = sum(float(jnp.sum(jnp.square(g)))
                 for g in jax.tree.leaves(grads))
     assert gnorm > 0
+
+
+def test_packed_train_step_loss_decreases(rng):
+    """Full packed training step (configs[4]): loss decreases on a fixed
+    packed batch through the shared AdamW stack."""
+    from chestxray_vit_tpu.config import Config, TrainConfig
+    from chestxray_vit_tpu.train import steps as S
+    imgs = _images(rng, [64, 48, 32, 48, 64, 32])
+    labs = _labels(rng, 6)
+    b = pk.pack_images(imgs, labs, patch=16, seq_len=32, grids=GRIDS)
+    cfg = Config(model=CFG, train=TrainConfig(learning_rate=2e-3))
+    params = vit.init_params(jax.random.key(5), CFG)
+    state = S.TrainState.create(params, 0)
+    step = jax.jit(S.make_packed_train_step(cfg, 100, GRIDS))
+    batch = {"tokens": jnp.asarray(b.tokens),
+             "segment_ids": jnp.asarray(b.segment_ids),
+             "pos_indices": jnp.asarray(b.pos_indices),
+             "pool_weights": jnp.asarray(b.pool_weights),
+             "labels": jnp.asarray(b.labels),
+             "image_mask": jnp.asarray(b.image_mask)}
+    losses = []
+    for _ in range(12):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
