@@ -107,6 +107,10 @@ def pack_images(
             space.append(seq_len - n)
 
     max_imgs = max_imgs_per_seq or max(len(s) for s in seqs)
+    if any(len(s) > max_imgs for s in seqs):
+        raise ValueError(
+            f"a sequence packs {max(len(s) for s in seqs)} images "
+            f"> max_imgs_per_seq={max_imgs}; raise it or shrink seq_len")
     b = len(seqs)
     patch_dim = patch * patch * 3
     tokens = np.zeros((b, seq_len, patch_dim), np.float32)

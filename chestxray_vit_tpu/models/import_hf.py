@@ -18,6 +18,7 @@ from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from chestxray_vit_tpu.config import ModelConfig
@@ -110,8 +111,6 @@ def params_from_hf_state_dict(state_dict: Mapping[str, Any],
         head_k = (rngk.standard_normal((d, cfg.num_classes)) * 0.02).astype(dt)
         head_b = np.zeros((cfg.num_classes,), dt)
     params["head"] = {"kernel": head_k, "bias": head_b}
-
-    import jax
     return jax.tree.map(jnp.asarray, params)
 
 

@@ -148,18 +148,23 @@ class Trainer:
                 self._train_batches(epoch, skip), place_fn=lambda b: b,
                 depth=self.cfg.data.prefetch_depth)
             batch_idx = skip
+            # Shallow async pipelining: let up to 8 steps be in flight, then
+            # sync on a scalar fetch — deep queues are pathological on
+            # tunneled platforms and unbounded ones hide errors (BENCH_NOTES).
+            sync_every = max(1, min(8, cfg.logging_steps))
             for batch in prefetch:
                 self.profiler.maybe_start(step)
                 self.state, metrics = self._train_step(self.state, batch)
-                loss = float(metrics["loss"])   # per-step sync (see BENCH_NOTES)
                 step += 1
                 batch_idx += 1
+                if step % sync_every == 0:
+                    float(metrics["loss"])
                 self._meter.step(self.global_batch)
                 self.profiler.maybe_stop(step)
 
                 if step % cfg.logging_steps == 0:
                     self.logger.log(step, {
-                        "loss": loss,
+                        "loss": float(metrics["loss"]),
                         "grad_norm": float(metrics["grad_norm"]),
                         "lr": float(metrics["lr"]),
                         "epoch": epoch + batch_idx / self.steps_per_epoch,
