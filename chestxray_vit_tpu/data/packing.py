@@ -88,9 +88,10 @@ def pack_images(
         per_image.append((tokens, pos + offsets[g], np.asarray(lab,
                                                                np.float32)))
 
-    # first-fit decreasing by token count
+    # first-fit decreasing by token count, capped per-sequence image count
     order = sorted(range(len(per_image)),
                    key=lambda i: -per_image[i][0].shape[0])
+    cap = max_imgs_per_seq if max_imgs_per_seq else len(per_image)
     seqs: List[List[int]] = []
     space: List[int] = []
     for i in order:
@@ -98,7 +99,7 @@ def pack_images(
         if n > seq_len:
             raise ValueError(f"image {i} needs {n} tokens > seq_len {seq_len}")
         for s, free in enumerate(space):
-            if free >= n:
+            if free >= n and len(seqs[s]) < cap:
                 seqs[s].append(i)
                 space[s] -= n
                 break
@@ -107,10 +108,6 @@ def pack_images(
             space.append(seq_len - n)
 
     max_imgs = max_imgs_per_seq or max(len(s) for s in seqs)
-    if any(len(s) > max_imgs for s in seqs):
-        raise ValueError(
-            f"a sequence packs {max(len(s) for s in seqs)} images "
-            f"> max_imgs_per_seq={max_imgs}; raise it or shrink seq_len")
     b = len(seqs)
     patch_dim = patch * patch * 3
     tokens = np.zeros((b, seq_len, patch_dim), np.float32)
@@ -122,7 +119,7 @@ def pack_images(
 
     for s, members in enumerate(seqs):
         cursor = 0
-        for slot, i in enumerate(members[:max_imgs]):
+        for slot, i in enumerate(members):
             t, p, lab = per_image[i]
             n = t.shape[0]
             tokens[s, cursor:cursor + n] = t

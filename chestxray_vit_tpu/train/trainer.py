@@ -151,18 +151,23 @@ class Trainer:
             # Shallow async pipelining: let up to 8 steps be in flight, then
             # sync on a scalar fetch — deep queues are pathological on
             # tunneled platforms and unbounded ones hide errors (BENCH_NOTES).
-            sync_every = max(1, min(8, cfg.logging_steps))
+            sync_every = max(1, min(8, cfg.logging_steps or 8))
+            unmetered_steps = 0
             for batch in prefetch:
                 self.profiler.maybe_start(step)
                 self.state, metrics = self._train_step(self.state, batch)
                 step += 1
                 batch_idx += 1
-                if step % sync_every == 0:
+                unmetered_steps += 1
+                if step % sync_every == 0 or self.profiler.window:
+                    # scalar fetch = device completion barrier; always
+                    # per-step while profiling so stop_trace sees the work
                     float(metrics["loss"])
-                self._meter.step(self.global_batch)
+                    self._meter.step(self.global_batch * unmetered_steps)
+                    unmetered_steps = 0
                 self.profiler.maybe_stop(step)
 
-                if step % cfg.logging_steps == 0:
+                if cfg.logging_steps and step % cfg.logging_steps == 0:
                     self.logger.log(step, {
                         "loss": float(metrics["loss"]),
                         "grad_norm": float(metrics["grad_norm"]),
@@ -170,10 +175,12 @@ class Trainer:
                         "epoch": epoch + batch_idx / self.steps_per_epoch,
                         "images_per_sec": self._meter.images_per_sec,
                     })
-                if cfg.eval_strategy == "steps" and step % cfg.eval_steps == 0:
+                if (cfg.eval_strategy == "steps" and cfg.eval_steps
+                        and step % cfg.eval_steps == 0):
                     self._last_eval_metrics = self.evaluate()
                     self.logger.log(step, self._last_eval_metrics, "eval")
-                if cfg.save_strategy == "steps" and step % cfg.save_steps == 0:
+                if (cfg.save_strategy == "steps" and cfg.save_steps
+                        and step % cfg.save_steps == 0):
                     self._save(step, epoch, batch_idx)
                 if step >= self.total_steps:
                     done = True

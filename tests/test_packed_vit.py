@@ -153,3 +153,15 @@ def test_packed_train_step_loss_decreases(rng):
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_pack_respects_max_imgs_per_seq(rng):
+    """The per-sequence image cap constrains packing instead of raising."""
+    imgs = _images(rng, [32] * 8)          # 4 tokens each
+    labs = _labels(rng, 8)
+    b = pk.pack_images(imgs, labs, patch=16, seq_len=128, grids=GRIDS,
+                       max_imgs_per_seq=2)
+    assert b.n_images == 8
+    per_seq = b.image_mask.sum(axis=1)
+    assert (per_seq <= 2).all()
+    assert b.image_mask.sum() == 8         # nothing dropped
