@@ -69,6 +69,100 @@ def _image_tokens(gray: np.ndarray, grid: int, patch: int
     return tokens, pos
 
 
+def iterate_packed_batches(
+    index,                                  # metadata.DatasetIndex
+    blob_map: Dict[str, str],
+    store,
+    *,
+    batch_seqs: int = 8,
+    patch: int = 16,
+    seq_len: int = 1152,
+    grids: Sequence[int] = (16, 24, 32),
+    max_imgs_per_seq: Optional[int] = None,
+    epoch: int = 0,
+    shuffle: bool = True,
+    seed: int = 42,
+    num_workers: int = 8,
+):
+    """Stream the NIH pipeline into fixed-shape packed batches.
+
+    Decodes images on a thread pool, next-fit packs them into ``seq_len``
+    sequences, and yields dict batches of exactly ``batch_seqs`` sequences
+    (static shapes for the jitted packed train step). The tail batch is
+    padded with empty sequences. Yields the same keys
+    ``make_packed_train_step`` consumes.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from chestxray_vit_tpu.data import decode as dec
+    from chestxray_vit_tpu.data.pipeline import epoch_order
+
+    offsets = grid_table_offsets(grids)
+    n = len(index)
+    order = epoch_order(n, epoch, seed, shuffle)
+    num_classes = index.labels.shape[1]
+
+    def load(i: int):
+        name = index.filenames[i]
+        blob = blob_map.get(name)
+        data = None
+        if blob is not None:
+            try:
+                data = store.get(blob)
+            except Exception:                           # noqa: BLE001
+                data = None
+        gray = dec.safe_decode_gray(data)
+        g = choose_grid(gray.shape[0], gray.shape[1], patch, grids)
+        tokens, pos = _image_tokens(gray, g, patch)
+        return tokens, pos + offsets[g], index.labels[i].astype(np.float32)
+
+    cap = max_imgs_per_seq or seq_len // min(g * g for g in grids)
+    closed: List[List[tuple]] = []
+    current: List[tuple] = []
+    used = 0
+
+    def assemble(seqs: List[List[tuple]]) -> dict:
+        max_imgs = cap
+        b = batch_seqs
+        patch_dim = patch * patch * 3
+        out = {
+            "tokens": np.zeros((b, seq_len, patch_dim), np.float32),
+            "segment_ids": np.full((b, seq_len), PAD_SEGMENT, np.int32),
+            "pos_indices": np.zeros((b, seq_len), np.int32),
+            "pool_weights": np.zeros((b, max_imgs, seq_len), np.float32),
+            "labels": np.zeros((b, max_imgs, num_classes), np.float32),
+            "image_mask": np.zeros((b, max_imgs), bool),
+        }
+        for s, members in enumerate(seqs):
+            cursor = 0
+            for slot, (t, p, lab) in enumerate(members):
+                m = t.shape[0]
+                out["tokens"][s, cursor:cursor + m] = t
+                out["segment_ids"][s, cursor:cursor + m] = slot
+                out["pos_indices"][s, cursor:cursor + m] = p
+                out["pool_weights"][s, slot, cursor:cursor + m] = 1.0 / m
+                out["labels"][s, slot] = lab
+                out["image_mask"][s, slot] = True
+                cursor += m
+        return out
+
+    with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as pool:
+        for tokens, pos, lab in pool.map(load, [int(i) for i in order]):
+            m = tokens.shape[0]
+            if used + m > seq_len or len(current) >= cap:
+                closed.append(current)
+                current, used = [], 0
+                if len(closed) == batch_seqs:
+                    yield assemble(closed)
+                    closed = []
+            current.append((tokens, pos, lab))
+            used += m
+    if current:
+        closed.append(current)
+    if closed:
+        yield assemble(closed)
+
+
 def pack_images(
     images: Sequence[np.ndarray],          # u8 grayscale, any sizes
     labels: Sequence[np.ndarray],          # [C] multi-hot each

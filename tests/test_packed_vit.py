@@ -165,3 +165,35 @@ def test_pack_respects_max_imgs_per_seq(rng):
     per_seq = b.image_mask.sum(axis=1)
     assert (per_seq <= 2).all()
     assert b.image_mask.sum() == 8         # nothing dropped
+
+
+def test_iterate_packed_batches_end_to_end(rng):
+    """Fake NIH bucket → streaming packed batches → packed train step."""
+    from chestxray_vit_tpu.config import Config, DataConfig, TrainConfig
+    from chestxray_vit_tpu.data.pipeline import build_datasets
+    from chestxray_vit_tpu.data.testing import build_fake_nih
+    from chestxray_vit_tpu.train import steps as S
+
+    fake = build_fake_nih(num_images=40, image_size=64, seed=7)
+    bundle = build_datasets(DataConfig(backend="memory"), store=fake.store)
+    cfg_m = ModelConfig(img_size=64, patch_size=16, hidden_size=64,
+                        num_layers=2, num_heads=4, mlp_dim=128,
+                        num_classes=len(bundle.classes), dtype="float32",
+                        attention_impl="xla")
+    batches = list(pk.iterate_packed_batches(
+        bundle.train, bundle.blob_map, fake.store,
+        batch_seqs=2, patch=16, seq_len=32, grids=GRIDS, num_workers=2))
+    total_imgs = sum(int(b["image_mask"].sum()) for b in batches)
+    assert total_imgs == len(bundle.train)      # nothing dropped
+    assert all(b["tokens"].shape == (2, 32, 768) for b in batches)
+
+    cfg = Config(model=cfg_m, train=TrainConfig(learning_rate=2e-3))
+    params = vit.init_params(jax.random.key(9), cfg_m)
+    state = S.TrainState.create(params, 0)
+    step = jax.jit(S.make_packed_train_step(cfg, 100, GRIDS))
+    losses = []
+    for _ in range(3):
+        for b in batches:
+            state, m = step(state, {k: jnp.asarray(v) for k, v in b.items()})
+            losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
