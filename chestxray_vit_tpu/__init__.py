@@ -29,3 +29,23 @@ from chestxray_vit_tpu.config import (  # noqa: F401
     version_a_config,
     version_b_config,
 )
+
+_LAZY = {
+    "Trainer": ("chestxray_vit_tpu.train.trainer", "Trainer"),
+    "Predictor": ("chestxray_vit_tpu.serve.inference", "Predictor"),
+    "TrainState": ("chestxray_vit_tpu.train.steps", "TrainState"),
+    "build_mesh": ("chestxray_vit_tpu.parallel.mesh", "build_mesh"),
+    "build_datasets": ("chestxray_vit_tpu.data.pipeline", "build_datasets"),
+    "flash_attention": ("chestxray_vit_tpu.ops.flash_attention",
+                        "flash_attention"),
+}
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import chestxray_vit_tpu` light — no jax
+    device init until a component is actually used)."""
+    if name in _LAZY:
+        import importlib
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -123,9 +123,10 @@ def _mha(x: jax.Array, bp: Params, cfg: ModelConfig,
     def heads(t):
         return t.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
 
-    q = heads(_linear(x, bp["wq"]))
-    k = heads(_linear(x, bp["wk"]))
-    v = heads(_linear(x, bp["wv"]))
+    name = jax.ad_checkpoint.checkpoint_name
+    q = name(heads(_linear(x, bp["wq"])), "attn_heads")
+    k = name(heads(_linear(x, bp["wk"])), "attn_heads")
+    v = name(heads(_linear(x, bp["wv"])), "attn_heads")
     probs = None
     if return_probs:
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
@@ -199,6 +200,11 @@ def apply(params: Params, images: jax.Array, cfg: ModelConfig, *,
         if cfg.remat_policy == "mlp":
             policy = jax.checkpoint_policies.save_anything_except_these_names(
                 "mlp_hidden")
+        elif cfg.remat_policy == "attn":
+            # recompute only the attention internals (qkv heads + flash
+            # kernel residuals) — ~11% extra FLOPs vs full remat's ~33%
+            policy = jax.checkpoint_policies.save_anything_except_these_names(
+                "flash_residual", "attn_heads")
         elif cfg.remat_policy == "dots":
             policy = jax.checkpoint_policies.checkpoint_dots
         else:

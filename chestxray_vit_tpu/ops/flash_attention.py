@@ -423,13 +423,19 @@ def _prep(x: jax.Array, s_pad: int) -> jax.Array:
 
 
 def _flash_fwd_rule(q, k, v, sm_scale, block_q):
+    from jax.ad_checkpoint import checkpoint_name
+
     b, h, s, d = q.shape
     scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
     s_pad = _pad_len(s, block_q)
     qp, kp, vp = (_prep(x, s_pad) for x in (q, k, v))
     out, lse = _fwd(qp, kp, vp, s, scale, block_q)
     o = out[:, :s, :].reshape(b, h, s, d)
-    return o, (qp, kp, vp, out, lse, (b, h, s, d))
+    # named so selective remat policies ('attn') can choose to recompute
+    # these residuals instead of holding them in HBM
+    res = tuple(checkpoint_name(x, "flash_residual")
+                for x in (qp, kp, vp, out, lse))
+    return o, (*res, (b, h, s, d))
 
 
 def _flash_bwd_rule(sm_scale, block_q, res, g):

@@ -53,28 +53,48 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def param_sharding(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
     """Sharding tree for parameters.
 
-    Data-parallel parity keeps params replicated. When the mesh has a
-    non-trivial ``fsdp`` axis, the largest matrices (the scanned encoder
-    kernels, [L, in, out]) are sharded on their widest trailing axis; XLA
-    all-gathers them per layer at use and reduce-scatters the grads — the
-    ZeRO-3 pattern expressed purely through shardings.
+    Data-parallel parity keeps params replicated. Two optional axes widen it
+    without touching the step functions (XLA derives the collectives):
+
+    - ``fsdp`` > 1: the largest matrices (scanned encoder kernels,
+      [L, in, out]) are sharded on their widest trailing axis; XLA
+      all-gathers them per layer at use and reduce-scatters grads — ZeRO-3
+      expressed purely through shardings.
+    - ``tensor`` > 1: Megatron-style intra-layer split — qkv and mlp_in
+      kernels column-parallel (output dim), wo and mlp_out row-parallel
+      (input dim); the residual-stream all-reduce appears after wo/mlp_out.
     """
     fsdp = mesh.shape.get("fsdp", 1)
+    tensor = mesh.shape.get("tensor", 1)
 
-    def rule(leaf):
+    # Megatron placement: name → (sharded axis index within [in, out])
+    TP_COL = {"wq", "wk", "wv", "mlp_in"}    # split output dim
+    TP_ROW = {"wo", "mlp_out"}               # split input dim
+
+    def rule_with_path(path, leaf):
+        names = [getattr(p, "key", None) for p in path]
+        dims = [None] * leaf.ndim
+        if tensor > 1 and leaf.ndim == 3 and "kernel" in names:
+            # scanned block kernels are [L, in, out]
+            owner = next((n for n in names if n in TP_COL | TP_ROW), None)
+            if owner in TP_COL and leaf.shape[2] % tensor == 0:
+                dims[2] = "tensor"
+            elif owner in TP_ROW and leaf.shape[1] % tensor == 0:
+                dims[1] = "tensor"
+        if tensor > 1 and leaf.ndim == 2 and "bias" in names:
+            owner = next((n for n in names if n in TP_COL), None)
+            if owner is not None and leaf.shape[1] % tensor == 0:
+                dims[1] = "tensor"
         if fsdp > 1 and leaf.ndim >= 2:
-            # shard the largest trailing dim divisible by the axis
-            dims = [None] * leaf.ndim
             order = sorted(range(1, leaf.ndim),
                            key=lambda i: leaf.shape[i], reverse=True)
             for i in order:
-                if leaf.shape[i] % fsdp == 0:
+                if dims[i] is None and leaf.shape[i] % fsdp == 0:
                     dims[i] = "fsdp"
                     break
-            return NamedSharding(mesh, P(*dims))
-        return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(*dims))
 
-    return jax.tree.map(rule, params)
+    return jax.tree_util.tree_map_with_path(rule_with_path, params)
 
 
 def shard_batch(mesh: Mesh, batch):
