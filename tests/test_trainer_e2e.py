@@ -102,3 +102,16 @@ def test_best_model_restored_at_end(tmp_path, fake):
     assert best is not None
     assert int(tr.state.step) == best
     tr.close()
+
+
+def test_mid_epoch_cursor_skip(tmp_path, fake):
+    """_train_batches(skip=k) resumes mid-epoch: yields exactly the batches
+    after the cursor, same content as an unskipped epoch's tail."""
+    cfg = _cfg(tmp_path)
+    tr = Trainer(cfg, store=fake.store, pretrained=False)
+    full = [b["labels"] for b in tr._train_batches(epoch=0, skip=0)]
+    tail = [b["labels"] for b in tr._train_batches(epoch=0, skip=2)]
+    assert len(tail) == len(full) - 2
+    for a, b in zip(full[2:], tail):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    tr.close()
