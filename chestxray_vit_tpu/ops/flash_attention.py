@@ -49,20 +49,27 @@ def _pad_len(s: int, block: int) -> int:
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _segment_mask(sq, sk):
-    """[bq] , [S_pad] segment ids → [bq, S_pad] same-segment mask."""
-    return sq[:, None] == sk[None, :]
+def _segment_mask(seg_ref, qi, block_q: int):
+    """Segment-id ref [1, 1, S_pad] → [bq, S_pad] same-segment mask for Q
+    block ``qi``. The dynamic Q-window slice happens on the ref (``pl.ds``),
+    which Mosaic lowers natively; value-level dynamic_slice does not.
+    (Segment ids ride a [BH, 1, S_pad] layout — TPU block shapes need the
+    trailing dims (sublane, lane)-aligned, which (1, S_pad) satisfies.)"""
+    seg_row = seg_ref[0]                            # [1, S_pad]
+    sq = seg_ref[0, 0, pl.ds(qi * block_q, block_q)]  # [bq]
+    return sq[:, None] == seg_row                   # [bq, S_pad]
 
 
-def _fwd_kernel_seg(q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref, lse_ref, *,
-                    sm_scale: float):
+def _fwd_kernel_seg(q_ref, k_ref, v_ref, seg_ref, o_ref, lse_ref, *,
+                    sm_scale: float, block_q: int):
     """Segment-masked forward: attention only within equal segment ids
     (block-diagonal attention for NaViT-style packed batching)."""
+    qi = pl.program_id(1)
     q, k, v = q_ref[0], k_ref[0], v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale
-    mask = _segment_mask(sq_ref[0], sk_ref[0])
+    mask = _segment_mask(seg_ref, qi, block_q)
     s = jnp.where(mask, s, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -72,15 +79,16 @@ def _fwd_kernel_seg(q_ref, k_ref, v_ref, sq_ref, sk_ref, o_ref, lse_ref, *,
     lse_ref[0] = (m + jnp.log(l)).astype(jnp.float32)
 
 
-def _bwd_kernel_seg(q_ref, k_ref, v_ref, sq_ref, sk_ref, do_ref, o_ref,
-                    lse_ref, dq_ref, dk_ref, dv_ref, *, sm_scale: float):
+def _bwd_kernel_seg(q_ref, k_ref, v_ref, seg_ref, do_ref, o_ref,
+                    lse_ref, dq_ref, dk_ref, dv_ref, *, sm_scale: float,
+                    block_q: int):
     qi = pl.program_id(1)
     q, k, v = q_ref[0], k_ref[0], v_ref[0]
     do, o, lse = do_ref[0], o_ref[0], lse_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * sm_scale
-    mask = _segment_mask(sq_ref[0], sk_ref[0])
+    mask = _segment_mask(seg_ref, qi, block_q)
     s = jnp.where(mask, s, _NEG_INF)
     p = jnp.exp(s - lse)
     p_lo = p.astype(v.dtype)
@@ -271,22 +279,26 @@ def _bwd(q, k, v, do, o, lse, seq_len: int, sm_scale: float, block_q: int):
     return dq, dk.astype(q.dtype), dv.astype(q.dtype)
 
 
+def _seg_spec(s_pad: int):
+    # segment ids ride [BH, 1, S_pad]: trailing (1, S_pad) satisfies the
+    # TPU (sublane, lane) block constraints with a full-row block
+    return pl.BlockSpec((1, 1, s_pad), lambda b, i: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
 def _fwd_seg(q, k, v, seg, sm_scale: float, block_q: int):
     bh, s_pad, d = q.shape
     grid = (bh, s_pad // block_q)
-    kernel = functools.partial(_fwd_kernel_seg, sm_scale=sm_scale)
+    kernel = functools.partial(_fwd_kernel_seg, sm_scale=sm_scale,
+                               block_q=block_q)
     qspec = pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM)
     kvspec = pl.BlockSpec((1, s_pad, d), lambda b, i: (b, 0, 0),
                           memory_space=pltpu.VMEM)
-    sqspec = pl.BlockSpec((1, block_q), lambda b, i: (b, i),
-                          memory_space=pltpu.VMEM)
-    skspec = pl.BlockSpec((1, s_pad), lambda b, i: (b, 0),
-                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[qspec, kvspec, kvspec, sqspec, skspec],
+        in_specs=[qspec, kvspec, kvspec, _seg_spec(s_pad)],
         out_specs=[qspec,
                    pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
                                 memory_space=pltpu.VMEM)],
@@ -295,27 +307,24 @@ def _fwd_seg(q, k, v, seg, sm_scale: float, block_q: int):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=_interpret(),
-    )(q, k, v, seg, seg)
+    )(q, k, v, seg)
 
 
 def _bwd_seg(q, k, v, seg, do, o, lse, sm_scale: float, block_q: int):
     bh, s_pad, d = q.shape
     grid = (bh, s_pad // block_q)
-    kernel = functools.partial(_bwd_kernel_seg, sm_scale=sm_scale)
+    kernel = functools.partial(_bwd_kernel_seg, sm_scale=sm_scale,
+                               block_q=block_q)
     qspec = pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM)
     kvspec = pl.BlockSpec((1, s_pad, d), lambda b, i: (b, 0, 0),
-                          memory_space=pltpu.VMEM)
-    sqspec = pl.BlockSpec((1, block_q), lambda b, i: (b, i),
-                          memory_space=pltpu.VMEM)
-    skspec = pl.BlockSpec((1, s_pad), lambda b, i: (b, 0),
                           memory_space=pltpu.VMEM)
     lspec = pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[qspec, kvspec, kvspec, sqspec, skspec, qspec, qspec,
+        in_specs=[qspec, kvspec, kvspec, _seg_spec(s_pad), qspec, qspec,
                   lspec],
         out_specs=[qspec, kvspec, kvspec],
         out_shape=[jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
@@ -324,7 +333,7 @@ def _bwd_seg(q, k, v, seg, do, o, lse, sm_scale: float, block_q: int):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=_interpret(),
-    )(q, k, v, seg, seg, do, o, lse)
+    )(q, k, v, seg, do, o, lse)
     return dq, dk.astype(q.dtype), dv.astype(q.dtype)
 
 
@@ -349,7 +358,8 @@ def _seg_prep(seg: jax.Array, heads: int, s_pad: int) -> jax.Array:
     b, s = seg.shape
     if s != s_pad:
         seg = jnp.pad(seg, ((0, 0), (0, s_pad - s)), constant_values=-1)
-    return jnp.repeat(seg.astype(jnp.int32), heads, axis=0)   # [B*H, S_pad]
+    seg = jnp.repeat(seg.astype(jnp.int32), heads, axis=0)    # [B*H, S_pad]
+    return seg[:, None, :]                                    # [B*H, 1, S_pad]
 
 
 def _flash_packed_fwd_rule(q, k, v, segment_ids, sm_scale, block_q):
