@@ -319,14 +319,15 @@ def _set_by_path(cfg: Config, dotted: str, value: str) -> None:
     text = str(ftype)
     if value.lower() in ("none", "null"):
         coerced: Any = None
+    elif "Tuple" in text or "tuple" in text:
+        # must precede the int/float checks: 'Tuple[int, int]' contains 'int'
+        coerced = tuple(json.loads(value))
     elif "bool" in text:
         coerced = value.lower() in ("1", "true", "yes", "on")
     elif "int" in text:
         coerced = int(value)
     elif "float" in text:
         coerced = float(value)
-    elif "Tuple" in text or "tuple" in text:
-        coerced = tuple(json.loads(value))
     else:
         coerced = value
     setattr(obj, name, coerced)

@@ -68,8 +68,15 @@ class HFDatasetAdapter:
     def load(self, i: int, rng: Optional[np.random.Generator] = None):
         row = self.dataset[int(i)]
         img = row[self.image_column]
-        gray = np.asarray(img.convert("L"), dtype=np.uint8) \
-            if hasattr(img, "convert") else np.asarray(img, dtype=np.uint8)
+        try:
+            gray = np.asarray(img.convert("L"), dtype=np.uint8) \
+                if hasattr(img, "convert") else np.asarray(img,
+                                                           dtype=np.uint8)
+        except Exception as e:                           # noqa: BLE001
+            # dummy-image policy, like the native pipeline (pyc L281-L286)
+            print(f"[hf_datasets] decode failed for row {i} ({e}); "
+                  "using dummy image")
+            gray = np.zeros((self.img_size, self.img_size), np.uint8)
         h, w = gray.shape
 
         if self.augment and rng is not None:
@@ -88,13 +95,14 @@ class HFDatasetAdapter:
 
 
 def _resize_center_crop(gray: np.ndarray, size: int) -> np.ndarray:
-    """torchvision Resize(size) (shorter side) + CenterCrop(size)."""
+    """torchvision Resize(size) (shorter side) + CenterCrop(size).
+    torchvision truncates the scaled long side (int(), not round())."""
     from PIL import Image
     h, w = gray.shape
     if h <= w:
-        nh, nw = size, max(int(round(w * size / h)), size)
+        nh, nw = size, max(int(w * size / h), size)
     else:
-        nw, nh = size, max(int(round(h * size / w)), size)
+        nw, nh = size, max(int(h * size / w), size)
     img = Image.fromarray(gray).resize((nw, nh), Image.BILINEAR)
     arr = np.asarray(img, np.uint8)
     top = (nh - size) // 2

@@ -146,8 +146,29 @@ def iterate_packed_batches(
                 cursor += m
         return out
 
+    # bounded submission: keep at most ~4 batches of decodes in flight so a
+    # slow consumer doesn't buffer the whole epoch's tokens in host memory
+    import queue as _queue
+    max_inflight = max(num_workers, 1) * 4
     with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as pool:
-        for tokens, pos, lab in pool.map(load, [int(i) for i in order]):
+        pending: "_queue.Queue" = _queue.Queue()
+        it = iter(int(i) for i in order)
+
+        def submit() -> bool:
+            try:
+                i = next(it)
+            except StopIteration:
+                return False
+            pending.put(pool.submit(load, i))
+            return True
+
+        for _ in range(max_inflight):
+            if not submit():
+                break
+        while not pending.empty():
+            fut = pending.get()
+            submit()
+            tokens, pos, lab = fut.result()
             m = tokens.shape[0]
             if used + m > seq_len or len(current) >= cap:
                 closed.append(current)

@@ -205,12 +205,15 @@ def iterate_batches(
     prefetch_batches: int = 4,
     drop_last: bool = False,
     pad_last: bool = False,
+    skip_batches: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield stacked numpy batches, decoding ahead with a thread pool.
 
     ``pad_last`` repeats the final sample up to a full batch and adds a
     ``num_valid`` field — eval keeps static shapes without dropping samples
     (the Trainer's eval loop processes every sample, SURVEY §3.4).
+    ``skip_batches`` drops the first k batches BEFORE any fetch/decode —
+    mid-epoch resume must not replay I/O for data it discards.
     """
     n = len(loader.index)
     order = epoch_order(n, epoch, seed, shuffle)
@@ -218,6 +221,8 @@ def iterate_batches(
         order[i:i + batch_size] for i in range(0, n, batch_size)]
     if drop_last and batches and len(batches[-1]) < batch_size:
         batches.pop()
+    if skip_batches:
+        batches = batches[skip_batches:]
     if not batches:
         return
 
@@ -238,7 +243,9 @@ def iterate_batches(
 
     with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as pool:
         futures = queue.Queue()
-        it = iter(enumerate(batches))
+        # batch index keeps its absolute epoch position so augmentation RNG
+        # streams are identical with and without skip_batches (exact resume)
+        it = iter(enumerate(batches, start=skip_batches))
 
         def submit_next() -> bool:
             try:
@@ -268,6 +275,7 @@ class DevicePrefetcher:
         self._depth = depth
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
+        self._error: Optional[BaseException] = None
         self._thread = threading.Thread(target=self._fill, daemon=True)
         self._thread.start()
 
@@ -275,6 +283,8 @@ class DevicePrefetcher:
         try:
             for batch in self._iter:
                 self._q.put(self._place(batch))
+        except BaseException as e:          # noqa: BLE001 — re-raised below
+            self._error = e
         finally:
             self._q.put(self._done)
 
@@ -284,5 +294,8 @@ class DevicePrefetcher:
     def __next__(self):
         item = self._q.get()
         if item is self._done:
+            if self._error is not None:
+                # surface producer failures instead of a silent short epoch
+                raise self._error
             raise StopIteration
         return item

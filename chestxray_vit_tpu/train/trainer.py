@@ -64,6 +64,10 @@ class Trainer:
         if params is None:
             params = vit.init_params(
                 jax.random.key(cfg.train.seed), cfg.model)
+        else:
+            # @512-style fine-tunes reuse @384 checkpoints: resample the
+            # position embeddings to the configured grid (vit.py docstring)
+            params = vit.adapt_params_to_img_size(params, cfg.model)
         self.state = S.place_state(
             S.TrainState.create(params, cfg.train.seed), self.mesh)
 
@@ -95,6 +99,7 @@ class Trainer:
             greater_is_better=cfg.train.greater_is_better)
         self._meter = ThroughputMeter()
         self._last_eval_metrics: Dict[str, float] = {}
+        self._last_eval_step: int = -1
 
     # ------------------------------------------------------------------
     # data plumbing
@@ -118,10 +123,9 @@ class Trainer:
             seed=self.cfg.data.shuffle_buffer_seed,
             num_workers=self.cfg.data.num_workers,
             prefetch_batches=self.cfg.data.prefetch_depth,
-            drop_last=True)
-        for i, batch in enumerate(it):
-            if i < skip:
-                continue
+            drop_last=True,
+            skip_batches=skip)   # resume skips before any fetch/decode
+        for batch in it:
             yield mesh_lib.shard_batch(self.mesh, batch)
 
     # ------------------------------------------------------------------
@@ -137,6 +141,13 @@ class Trainer:
             self.state, cursor, _ = self.ckpt.restore(step, self.state)
             print(f"[trainer] resumed at step {int(self.state.step)} "
                   f"(epoch {cursor.epoch}, batch {cursor.batch_in_epoch})")
+
+        if self.steps_per_epoch < 1 or \
+                len(self.bundle.train) < self.global_batch:
+            raise ValueError(
+                f"train split ({len(self.bundle.train)} samples) yields zero "
+                f"full batches at global batch {self.global_batch}; shrink "
+                f"the batch size or mesh, or raise use_subset_data")
 
         t_start = time.perf_counter()
         step = int(self.state.step)
@@ -159,7 +170,7 @@ class Trainer:
                 step += 1
                 batch_idx += 1
                 unmetered_steps += 1
-                if step % sync_every == 0 or self.profiler.window:
+                if step % sync_every == 0 or self.profiler.in_window(step):
                     # scalar fetch = device completion barrier; always
                     # per-step while profiling so stop_trace sees the work
                     float(metrics["loss"])
@@ -178,6 +189,7 @@ class Trainer:
                 if (cfg.eval_strategy == "steps" and cfg.eval_steps
                         and step % cfg.eval_steps == 0):
                     self._last_eval_metrics = self.evaluate()
+                    self._last_eval_step = step
                     self.logger.log(step, self._last_eval_metrics, "eval")
                 if (cfg.save_strategy == "steps" and cfg.save_steps
                         and step % cfg.save_steps == 0):
@@ -189,6 +201,7 @@ class Trainer:
                 epoch += 1
                 if cfg.eval_strategy == "epoch":
                     self._last_eval_metrics = self.evaluate()
+                    self._last_eval_step = step
                     self.logger.log(step, self._last_eval_metrics, "eval")
                 if cfg.save_strategy == "epoch":
                     self._save(step, epoch, 0)
@@ -214,9 +227,13 @@ class Trainer:
         return train_metrics
 
     def _save(self, step: int, epoch: int, batch_idx: int) -> None:
+        # only attach eval metrics measured at THIS step — best-checkpoint
+        # selection must not rank weights by another step's metric
+        metrics = (self._last_eval_metrics
+                   if getattr(self, "_last_eval_step", -1) == step else None)
         self.ckpt.save(step, self.state,
                        cursor=ckpt.DataCursor(epoch, batch_idx),
-                       metrics=self._last_eval_metrics or None)
+                       metrics=metrics)
 
     # ------------------------------------------------------------------
     # eval / predict
@@ -227,6 +244,13 @@ class Trainer:
         mean BCE loss) with padding sliced off — the Trainer's logit
         gather (SURVEY §3.4)."""
         loader = self._loader(index, augment=False)
+        if len(index) == 0:
+            # degenerate subsets (e.g. use_subset_data < 5 → val N//5 == 0):
+            # empty predictions, metrics fall out as 0.0 / NaN-free
+            c = self.cfg.model.num_classes
+            print("[trainer] warning: evaluating an empty dataset")
+            return (np.zeros((0, c), np.float32),
+                    np.zeros((0, c), np.float32), 0.0)
         logits_all, labels_all = [], []
         total_loss, total_n = 0.0, 0
         for batch in pipe.iterate_batches(

@@ -30,6 +30,11 @@ class StepProfiler:
             print("[profiling] device tracing unsupported on this platform; "
                   "profile_steps ignored")
 
+    def in_window(self, step: int) -> bool:
+        """True while a trace is (or should be) capturing this step."""
+        return bool(self.window and self._supported
+                    and self.window[0] <= step <= self.window[1])
+
     def maybe_start(self, step: int) -> None:
         if (self.window and self._supported and not self._active
                 and step == self.window[0]):

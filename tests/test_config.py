@@ -74,3 +74,8 @@ def test_cli_roundtrip_and_overrides():
 def test_use_subset_none_via_cli():
     cfg = parse_cli(["--set", "data.use_subset_data=none"])
     assert cfg.data.use_subset_data is None
+
+
+def test_cli_tuple_field():
+    cfg = parse_cli(["--set", "train.profile_steps=[100, 200]"])
+    assert cfg.train.profile_steps == (100, 200)

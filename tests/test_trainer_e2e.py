@@ -137,3 +137,34 @@ def test_learns_synthetic_signal_to_high_auroc(tmp_path):
     ev = tr.evaluate(tr.bundle.test)   # largest split → stable AUC
     tr.close()
     assert ev["avg_auroc"] > 0.7, ev
+
+
+def test_zero_batch_config_raises(tmp_path, fake):
+    """Global batch larger than the train split must fail loudly, not spin."""
+    cfg = _cfg(tmp_path, batch_size_per_core=1000, max_steps=10)
+    tr = Trainer(cfg, store=fake.store, pretrained=False)
+    with pytest.raises(ValueError, match="zero"):
+        tr.train()
+    tr.close()
+
+
+def test_empty_eval_is_graceful(tmp_path, fake):
+    cfg = _cfg(tmp_path)
+    cfg.data.use_subset_data = 4          # val = 4 // 5 = 0 samples
+    tr = Trainer(cfg, store=fake.store, pretrained=False)
+    ev = tr.evaluate()
+    assert ev["avg_auroc"] == 0.0 and ev["f1_micro"] == 0.0
+    tr.close()
+
+
+def test_prefetcher_surfaces_producer_errors(fake):
+    from chestxray_vit_tpu.data.pipeline import DevicePrefetcher
+
+    def boom():
+        yield {"x": np.zeros(1)}
+        raise RuntimeError("producer died")
+
+    it = DevicePrefetcher(boom(), place_fn=lambda b: b, depth=2)
+    assert next(it)["x"].shape == (1,)
+    with pytest.raises(RuntimeError, match="producer died"):
+        next(it)
