@@ -162,3 +162,44 @@ def test_decode_dummy_on_garbage():
     out = dec.safe_decode_gray(b"not an image", dummy_size=(32, 32),
                                prefer_native=False)
     assert out.shape == (32, 32) and (out == 0).all()
+
+
+class FlakyStore:
+    """Fault-injection wrapper: every k-th get raises (SURVEY §5: the
+    reference's only resilience is per-sample degrade-to-dummy; ours must
+    survive intermittent storage failures the same way)."""
+
+    def __init__(self, inner, every=3):
+        self.inner, self.every, self.calls = inner, every, 0
+
+    def get(self, name):
+        self.calls += 1
+        if self.calls % self.every == 0:
+            raise IOError(f"injected failure #{self.calls}")
+        return self.inner.get(name)
+
+    def list(self, prefix):
+        return self.inner.list(prefix)
+
+    def exists(self, name):
+        return self.inner.exists(name)
+
+
+def test_fault_injection_degrades_to_dummies(fake):
+    b = pipe.build_datasets(_cfg(), store=fake.store)
+    flaky = FlakyStore(fake.store, every=3)
+    loader = pipe.SampleLoader(b.train, b.blob_map, flaky, img_size=64,
+                               prefer_native_decode=False)
+    batches = list(pipe.iterate_batches(loader, 8, num_workers=4,
+                                        drop_last=True))
+    # every batch materializes despite ~1/3 of fetches failing
+    assert len(batches) == len(b.train) // 8
+    n_black = sum(int((bt["pixel_values_u8"] == 0).all(axis=(1, 2)).sum())
+                  for bt in batches)
+    assert n_black >= len(b.train) // 5   # failures became dummy images
+    # labels stay aligned for non-dummy samples
+    healthy = pipe.SampleLoader(b.train, b.blob_map, fake.store, img_size=64,
+                                prefer_native_decode=False)
+    s_flaky = loader.load(1)
+    s_ok = healthy.load(1)
+    np.testing.assert_array_equal(s_flaky["labels"], s_ok["labels"])
