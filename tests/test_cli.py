@@ -1,0 +1,71 @@
+"""CLI surface tests: train / eval / predict / smoke via main() with the
+in-memory backend (the outermost user surface). One shared training run."""
+
+import json
+
+import pytest
+
+from chestxray_vit_tpu.cli import main
+
+TINY = [
+    "--set", "data.backend=memory",
+    "--set", "model.img_size=64",
+    "--set", "model.patch_size=16",
+    "--set", "model.hidden_size=64",
+    "--set", "model.num_layers=2",
+    "--set", "model.num_heads=4",
+    "--set", "model.mlp_dim=128",
+    "--set", "model.dtype=float32",
+    "--set", "model.attention_impl=xla",
+    "--set", "train.batch_size_per_core=2",
+    "--set", "train.max_steps=3",
+    "--set", "train.eval_strategy=no",
+    "--set", "train.save_strategy=steps",
+    "--set", "train.save_steps=2",
+    "--set", "train.logging_steps=1",
+    "--set", "train.report_to=none",
+    "--set", "train.load_best_model_at_end=false",
+]
+
+
+@pytest.fixture(scope="module")
+def trained_dir(tmp_path_factory, capsys_disabled=None):
+    out = tmp_path_factory.mktemp("cli") / "out"
+    rc = main(["train", *TINY, "--set", f"train.output_dir={out}"])
+    assert rc == 0
+    return out
+
+
+def test_cli_train_writes_artifacts(trained_dir):
+    assert (trained_dir / "model" / "classes.json").exists()
+    assert (trained_dir / "train_results.json").exists()
+    assert (trained_dir / "eval_results.json").exists()
+    ev = json.loads((trained_dir / "eval_results.json").read_text())
+    assert "avg_auroc" in ev
+
+
+def test_cli_eval_from_checkpoint(trained_dir, capsys):
+    rc = main(["eval", *TINY, "--set", f"train.output_dir={trained_dir}",
+               "--set", "train.resume_from_checkpoint=auto"])
+    assert rc == 0
+    assert "avg_auroc" in capsys.readouterr().out
+
+
+def test_cli_predict_writes_report(trained_dir):
+    rc = main(["predict", *TINY, "--set", f"train.output_dir={trained_dir}",
+               "--set", "train.resume_from_checkpoint=auto"])
+    assert rc == 0
+    report = trained_dir / "final_classification_report.txt"
+    assert report.exists()
+    text = report.read_text()
+    assert "precision" in text and "samples avg" in text
+
+
+def test_cli_unknown_command(capsys):
+    assert main(["frobnicate"]) == 2
+    assert "unknown command" in capsys.readouterr().out
+
+
+def test_cli_help():
+    assert main([]) == 0
+    assert main(["--help"]) == 0
