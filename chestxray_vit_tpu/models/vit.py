@@ -205,6 +205,11 @@ def apply(params: Params, images: jax.Array, cfg: ModelConfig, *,
             # kernel residuals) — ~11% extra FLOPs vs full remat's ~33%
             policy = jax.checkpoint_policies.save_anything_except_these_names(
                 "flash_residual", "attn_heads")
+        elif cfg.remat_policy == "attn_mlp":
+            # also recompute the 4×-wide GELU hidden — the two biggest
+            # residual classes dropped, everything else saved
+            policy = jax.checkpoint_policies.save_anything_except_these_names(
+                "flash_residual", "attn_heads", "mlp_hidden")
         elif cfg.remat_policy == "dots":
             policy = jax.checkpoint_policies.checkpoint_dots
         else:
