@@ -83,10 +83,7 @@ class Trainer:
                             or int(math.ceil(self.steps_per_epoch
                                              * cfg.train.num_epochs)))
 
-        self._train_step = S.jit_train_step(
-            S.make_train_step(cfg, self.total_steps), self.mesh, self.state)
-        self._eval_step = S.jit_eval_step(
-            S.make_eval_step(cfg), self.mesh, self.state.params)
+        self._build_steps()
 
         out_dir = os.path.expanduser(cfg.train.output_dir)
         self.logger = MetricLogger(out_dir, cfg.train.report_to)
@@ -100,6 +97,19 @@ class Trainer:
         self._meter = ThroughputMeter()
         self._last_eval_metrics: Dict[str, float] = {}
         self._last_eval_step: int = -1
+
+    def _has_full_batch(self) -> bool:
+        """Whether the train split can produce at least one full batch
+        (subclass hook — packed batching counts sequences, not samples)."""
+        return len(self.bundle.train) >= self.global_batch
+
+    def _build_steps(self) -> None:
+        """Compile the train/eval step functions (subclass hook)."""
+        self._train_step = S.jit_train_step(
+            S.make_train_step(self.cfg, self.total_steps),
+            self.mesh, self.state)
+        self._eval_step = S.jit_eval_step(
+            S.make_eval_step(self.cfg), self.mesh, self.state.params)
 
     # ------------------------------------------------------------------
     # data plumbing
@@ -142,8 +152,7 @@ class Trainer:
             print(f"[trainer] resumed at step {int(self.state.step)} "
                   f"(epoch {cursor.epoch}, batch {cursor.batch_in_epoch})")
 
-        if self.steps_per_epoch < 1 or \
-                len(self.bundle.train) < self.global_batch:
+        if not self._has_full_batch():
             raise ValueError(
                 f"train split ({len(self.bundle.train)} samples) yields zero "
                 f"full batches at global batch {self.global_batch}; shrink "
@@ -159,6 +168,7 @@ class Trainer:
                 self._train_batches(epoch, skip), place_fn=lambda b: b,
                 depth=self.cfg.data.prefetch_depth)
             batch_idx = skip
+            step_at_epoch_start = step
             # Shallow async pipelining: let up to 8 steps be in flight, then
             # sync on a scalar fetch — deep queues are pathological on
             # tunneled platforms and unbounded ones hide errors (BENCH_NOTES).
@@ -198,6 +208,10 @@ class Trainer:
                     done = True
                     break
             else:
+                if step == step_at_epoch_start and skip == 0:
+                    raise ValueError(
+                        "an epoch produced zero training batches — batch "
+                        "configuration cannot be satisfied by the dataset")
                 epoch += 1
                 if cfg.eval_strategy == "epoch":
                     self._last_eval_metrics = self.evaluate()
