@@ -1,0 +1,96 @@
+"""Minimal HTTP inference server around :class:`Predictor`.
+
+POST /predict          body: raw PNG/JPEG bytes → JSON findings
+POST /predict?maps=1   → findings + attention-rollout map (grid floats)
+GET  /healthz          → {"status": "ok"}
+
+Stdlib-only (ThreadingHTTPServer); the model forward is single-threaded
+behind a lock — batching across connections happens by the micro-batch
+padding inside Predictor. Start with:
+
+    python -m chestxray_vit_tpu.serve.server --model-dir outputs/model
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from chestxray_vit_tpu.serve.inference import Predictor
+
+
+def make_handler(predictor: Predictor):
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _json(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.rstrip("/") == "/healthz" or self.path == "/":
+                return self._json(200, {"status": "ok",
+                                        "classes": predictor.classes})
+            return self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if not self.path.startswith("/predict"):
+                return self._json(404, {"error": "not found"})
+            length = int(self.headers.get("Content-Length", 0))
+            if length == 0:
+                return self._json(400, {"error": "empty body"})
+            data = self.rfile.read(length)
+            with_maps = "maps=1" in self.path
+            try:
+                with lock:
+                    out = predictor.predict_bytes([data],
+                                                  with_maps=with_maps)
+            except Exception as e:                     # noqa: BLE001
+                return self._json(500, {"error": str(e)})
+            payload = {
+                "findings": predictor.top_findings(out.probs[0],
+                                                   k=len(out.probs[0])),
+            }
+            if with_maps and out.maps is not None:
+                payload["attention_map"] = out.maps[0].tolist()
+            return self._json(200, payload)
+
+    return Handler
+
+
+def serve(predictor: Predictor, host: str = "127.0.0.1", port: int = 8000,
+          block: bool = True) -> ThreadingHTTPServer:
+    server = ThreadingHTTPServer((host, port), make_handler(predictor))
+    if block:
+        print(f"[server] listening on http://{host}:{server.server_port}")
+        server.serve_forever()
+    else:
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server
+
+
+def main(argv: Optional[list] = None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-dir", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--batch-size", type=int, default=8)
+    ns = ap.parse_args(argv)
+    predictor = Predictor.from_model_dir(ns.model_dir,
+                                         batch_size=ns.batch_size)
+    serve(predictor, ns.host, ns.port)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -153,3 +153,48 @@ def test_visualize_overlay_and_panel(tmp_path, rng):
     up = V._bilinear_upsample(sal, 64, 64)
     uy, ux = np.unravel_index(up.argmax(), up.shape)
     assert abs(uy // 16 - gy) <= 1 and abs(ux // 16 - gx) <= 1
+
+
+def test_http_server_end_to_end(rng):
+    """Real HTTP round-trips against the serving endpoint."""
+    import json
+    import urllib.request
+    from chestxray_vit_tpu.serve.server import serve
+
+    cfg = tiny_cfg()
+    params = vit.init_params(jax.random.key(6), cfg)
+    pred = Predictor(params, cfg, classes=list("ABCDE"), batch_size=2,
+                     canvas_size=64)
+    server = serve(pred, host="127.0.0.1", port=0, block=False)
+    base = f"http://127.0.0.1:{server.server_port}"
+    try:
+        health = json.loads(urllib.request.urlopen(base + "/healthz").read())
+        assert health["status"] == "ok" and health["classes"] == list("ABCDE")
+
+        blob = _png(rng.integers(0, 255, (64, 64), np.uint8))
+        req = urllib.request.Request(base + "/predict", data=blob,
+                                     method="POST")
+        out = json.loads(urllib.request.urlopen(req).read())
+        assert len(out["findings"]) == 5
+        assert 0.0 <= out["findings"][0]["probability"] <= 1.0
+
+        req = urllib.request.Request(base + "/predict?maps=1", data=blob,
+                                     method="POST")
+        out = json.loads(urllib.request.urlopen(req).read())
+        assert np.asarray(out["attention_map"]).shape == (2, 2)
+
+        # probes: empty body and wrong route
+        req = urllib.request.Request(base + "/predict", data=b"",
+                                     method="POST")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        try:
+            urllib.request.urlopen(base + "/nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
