@@ -25,8 +25,17 @@ import os
 from dataclasses import dataclass, field
 from typing import Any, Optional, Sequence, Tuple
 
-# ImageNet normalization constants, identical to the reference
-# (pyc L78-L79: VIT_MEAN / VIT_STD) and to HF ViTImageProcessor defaults.
+# Normalization constants — a parity subtlety worth spelling out:
+# the reference DEFINES ImageNet constants (pyc L78-L79: VIT_MEAN/VIT_STD)
+# but never uses them — both variants normalize through HF
+# ViTImageProcessor (pyc L300; ViT-Training.py:57-63 reads
+# processor.image_mean/std), whose google/vit values are 0.5/0.5. So the
+# reference's EFFECTIVE normalization is mean=std=0.5; its ImageNet
+# constants are dead code. We default to the effective behavior and keep
+# both sets available (DataConfig.image_mean/image_std to switch).
+PROCESSOR_MEAN: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+PROCESSOR_STD: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+# the reference's (unused) ImageNet constants, kept for parity/compat
 VIT_MEAN: Tuple[float, float, float] = (0.485, 0.456, 0.406)
 VIT_STD: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 
@@ -95,6 +104,12 @@ class DataConfig:
     # Whether to crop to the first bbox when one exists for the image
     # (pyc L289-L291), else pad-to-square.
     use_bbox_roi: bool = True
+
+    # Normalization. Defaults = the reference's EFFECTIVE values (HF
+    # ViTImageProcessor's 0.5/0.5, see PROCESSOR_MEAN note above); set to
+    # VIT_MEAN/VIT_STD for ImageNet-style normalization.
+    image_mean: Tuple[float, float, float] = PROCESSOR_MEAN
+    image_std: Tuple[float, float, float] = PROCESSOR_STD
 
     # Augmentation for the Version-A parity path (ViT-Training.py:62-63):
     # RandomResizedCrop(img_size) + RandomHorizontalFlip on train.

@@ -17,7 +17,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from chestxray_vit_tpu.config import VIT_MEAN, VIT_STD
+from chestxray_vit_tpu.config import PROCESSOR_MEAN, PROCESSOR_STD
 from chestxray_vit_tpu.data import geometry as geo
 from chestxray_vit_tpu.data.pipeline import host_resize
 
@@ -61,8 +61,8 @@ def _image_tokens(gray: np.ndarray, grid: int, patch: int
     h, w = gray.shape
     resized = host_resize(gray, geo.full_image_box(w, h), size)
     x = resized.astype(np.float32) / 255.0
-    rgb = (x[..., None] - np.asarray(VIT_MEAN, np.float32)) \
-        / np.asarray(VIT_STD, np.float32)              # [size, size, 3]
+    rgb = (x[..., None] - np.asarray(PROCESSOR_MEAN, np.float32)) \
+        / np.asarray(PROCESSOR_STD, np.float32)              # [size, size, 3]
     p = rgb.reshape(grid, patch, grid, patch, 3).transpose(0, 2, 1, 3, 4)
     tokens = p.reshape(grid * grid, patch * patch * 3)
     pos = np.arange(grid * grid, dtype=np.int32)

@@ -4,7 +4,7 @@ The reference's per-sample hot path (SURVEY §3.3) is PIL on the host:
 grayscale decode → (bbox crop | pad-to-square) → Resize(384, bilinear) →
 RGB → HF processor rescale+normalize (pyc L265-L305). Rebuilt as ONE fused
 device computation: the crop, centered square padding, PIL-parity
-antialiased bilinear resize, grayscale→RGB broadcast, and ImageNet
+antialiased bilinear resize, grayscale→RGB broadcast, and processor
 normalization all happen on-device from the raw u8 canvas.
 
 TPU-first design: the separable resize is expressed as two small matmuls
@@ -28,7 +28,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from chestxray_vit_tpu.config import VIT_MEAN, VIT_STD
+from chestxray_vit_tpu.config import PROCESSOR_MEAN, PROCESSOR_STD
 
 
 def _resize_weights(out_size: int, src_extent: jax.Array, max_in: int
@@ -107,8 +107,8 @@ def fused_preprocess(
     out_size: int = 384,
     stretch: bool = False,               # False: pad-to-square (Version B)
     flips: Optional[jax.Array] = None,   # bool [B] horizontal flip
-    mean: Tuple[float, ...] = VIT_MEAN,
-    std: Tuple[float, ...] = VIT_STD,
+    mean: Tuple[float, ...] = PROCESSOR_MEAN,
+    std: Tuple[float, ...] = PROCESSOR_STD,
     dtype: jnp.dtype = jnp.float32,
 ) -> jax.Array:
     """Fused crop/pad/resize/normalize: [B, C, C] u8 → [B, out, out, 3].
@@ -131,12 +131,12 @@ def fused_preprocess(
 @functools.partial(jax.jit, static_argnames=("dtype",))
 def normalize_u8(
     images_u8: jax.Array,                # u8 [B, H, W] grayscale (resized)
-    mean: Tuple[float, ...] = VIT_MEAN,
-    std: Tuple[float, ...] = VIT_STD,
+    mean: Tuple[float, ...] = PROCESSOR_MEAN,
+    std: Tuple[float, ...] = PROCESSOR_STD,
     dtype: jnp.dtype = jnp.float32,
 ) -> jax.Array:
     """Host-resized path: u8 grayscale → normalized RGB (rescale 1/255,
-    ImageNet mean/std — the ViTImageProcessor tail, pyc L300)."""
+    processor mean/std — the ViTImageProcessor tail, pyc L300)."""
     x = images_u8.astype(jnp.float32) / 255.0
     mean_a = jnp.asarray(mean, jnp.float32)
     std_a = jnp.asarray(std, jnp.float32)

@@ -81,3 +81,13 @@ def test_clip_by_global_norm():
     # under the max norm → untouched
     small, norm2 = opt.clip_by_global_norm({"a": jnp.ones((2,)) * 0.1}, 1.0)
     np.testing.assert_allclose(np.asarray(small["a"]), 0.1, rtol=1e-5)
+
+
+def test_cosine_and_constant_schedules():
+    cos = opt.cosine_schedule(1e-3, total_steps=100, warmup_steps=10)
+    assert float(cos(0)) == 0.0
+    assert float(cos(10)) == pytest.approx(1e-3)
+    assert float(cos(55)) == pytest.approx(5e-4, rel=1e-3)  # cos midpoint
+    assert float(cos(100)) == pytest.approx(0.0, abs=1e-9)
+    const = opt.constant_schedule(2e-4)
+    assert float(const(0)) == float(const(999)) == pytest.approx(2e-4)

@@ -9,7 +9,7 @@ from PIL import Image
 
 import jax.numpy as jnp
 
-from chestxray_vit_tpu.config import VIT_MEAN, VIT_STD
+from chestxray_vit_tpu.config import PROCESSOR_MEAN as VIT_MEAN, PROCESSOR_STD as VIT_STD
 from chestxray_vit_tpu.data import geometry as geo
 from chestxray_vit_tpu.data.metadata import BBox
 from chestxray_vit_tpu.data.pipeline import host_resize
