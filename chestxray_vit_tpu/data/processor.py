@@ -7,7 +7,7 @@ ViT-Training.py:57). Migrating users keep the same call shape here:
     out = proc(images=[pil_or_numpy, ...])   # {'pixel_values': f32 [B,3,H,W]}
 
 Numerics match HF exactly for its default resample path (bilinear resize →
-rescale 1/255 → ImageNet normalize), verified in tests against the real
+rescale 1/255 → mean/std 0.5 normalize), verified in tests against the real
 ``transformers.ViTImageProcessor``.
 """
 
