@@ -115,6 +115,14 @@ class DataConfig:
     # RandomResizedCrop(img_size) + RandomHorizontalFlip on train.
     augment: bool = False
 
+    # Where the crop/pad/resize/normalize chain runs (SURVEY §3.3):
+    # 'host' resizes on the CPU and ships u8 384² grayscale (fewest
+    # host→device bytes); 'device' ships the raw decode canvas + crop box
+    # and runs the fused MXU kernel inside the train step's jit (fewest
+    # host CPU cycles — the right trade when decode threads are the
+    # bottleneck).
+    preprocess_placement: str = "host"      # 'host' | 'device'
+
     # Host pipeline shape.
     num_workers: int = 8            # decode thread count (A: num_workers=8)
     prefetch_depth: int = 4         # batches buffered ahead of the device

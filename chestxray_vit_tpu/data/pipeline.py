@@ -175,6 +175,7 @@ class SampleLoader:
             "boxes": np.asarray([box.left, box.top, box.width, box.height],
                                 np.int32),
             "flips": np.asarray(flip),
+            "stretches": np.asarray(stretch),
             "labels": labels,
         }
 

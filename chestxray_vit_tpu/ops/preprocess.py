@@ -70,24 +70,26 @@ def _gather_axis(canvas: jax.Array, start: jax.Array, offset: jax.Array,
 
 
 def _preprocess_one(canvas: jax.Array, box: jax.Array, out_size: int,
-                    stretch: bool, flip: jax.Array) -> jax.Array:
+                    stretch: jax.Array, flip: jax.Array) -> jax.Array:
     """One image: u8 [C, C] canvas + crop box (left, top, w, h) →
-    f32 [out, out] in [0, 1]."""
+    f32 [out, out] in [0, 1]. ``stretch`` is a traced per-sample bool so
+    pad-to-square (Version B ROI) and stretch (RandomResizedCrop) samples
+    can share one compiled batch."""
     cmax = canvas.shape[0]
     left, top, w, h = box[0], box[1], box[2], box[3]
     w32, h32 = w.astype(jnp.int32), h.astype(jnp.int32)
     left32, top32 = left.astype(jnp.int32), top.astype(jnp.int32)
 
-    if stretch:
-        side_y, side_x = h32, w32
-        off_y = jnp.zeros((), jnp.int32)
-        off_x = jnp.zeros((), jnp.int32)
-    else:
-        side = jnp.maximum(w32, h32)
-        side_y = side_x = side
-        # centered pad offsets (pyc L184-L196 integer semantics)
-        off_y = jnp.where(w32 > h32, (w32 - h32) // 2, 0)
-        off_x = jnp.where(h32 > w32, (h32 - w32) // 2, 0)
+    side = jnp.maximum(w32, h32)
+    side_y = jnp.where(stretch, h32, side)
+    side_x = jnp.where(stretch, w32, side)
+    # centered pad offsets (pyc L184-L196 integer semantics); zero when
+    # stretching each axis independently
+    zero = jnp.zeros((), jnp.int32)
+    off_y = jnp.where(stretch, zero,
+                      jnp.where(w32 > h32, (w32 - h32) // 2, 0))
+    off_x = jnp.where(stretch, zero,
+                      jnp.where(h32 > w32, (h32 - w32) // 2, 0))
 
     img = canvas.astype(jnp.float32)
     sq = _gather_axis(img, top32, off_y, h32, axis=0)
@@ -110,18 +112,23 @@ def fused_preprocess(
     mean: Tuple[float, ...] = PROCESSOR_MEAN,
     std: Tuple[float, ...] = PROCESSOR_STD,
     dtype: jnp.dtype = jnp.float32,
+    stretches: Optional[jax.Array] = None,   # bool [B] per-sample override
 ) -> jax.Array:
     """Fused crop/pad/resize/normalize: [B, C, C] u8 → [B, out, out, 3].
 
     ``stretch=False`` reproduces Version B's bbox-ROI chain (crop →
     pad-to-square → resize); ``stretch=True`` resizes each axis
     independently — the RandomResizedCrop path (Version A train transform).
+    ``stretches`` selects per sample instead (training batches can mix).
     """
+    b = canvases.shape[0]
     if flips is None:
-        flips = jnp.zeros((canvases.shape[0],), jnp.bool_)
+        flips = jnp.zeros((b,), jnp.bool_)
+    if stretches is None:
+        stretches = jnp.full((b,), stretch, jnp.bool_)
     gray = jax.vmap(
-        lambda c, b, f: _preprocess_one(c, b, out_size, stretch, f)
-    )(canvases, boxes, flips)                            # [B, O, O] in [0,1]
+        lambda c, b_, st, f: _preprocess_one(c, b_, out_size, st, f)
+    )(canvases, boxes, stretches, flips)                 # [B, O, O] in [0,1]
     mean_a = jnp.asarray(mean, jnp.float32)
     std_a = jnp.asarray(std, jnp.float32)
     rgb = (gray[..., None] - mean_a) / std_a             # [B, O, O, 3]
@@ -143,14 +150,26 @@ def normalize_u8(
     return ((x[..., None] - mean_a) / std_a).astype(dtype)
 
 
-def prepare_pixel_values(batch: dict, dtype: jnp.dtype = jnp.float32
-                         ) -> jax.Array:
+def prepare_pixel_values(batch: dict, dtype: jnp.dtype = jnp.float32, *,
+                         out_size: int = 384,
+                         mean: Tuple[float, ...] = PROCESSOR_MEAN,
+                         std: Tuple[float, ...] = PROCESSOR_STD) -> jax.Array:
     """Resolve a batch dict to normalized [B, H, W, 3] pixel values.
 
-    Accepts either pre-normalized ``pixel_values`` (f32 NHWC) or the
-    bandwidth-lean ``pixel_values_u8`` ([B, H, W] grayscale, normalized
-    on-device inside the surrounding jit).
+    Accepts any of the three pipeline placements:
+    - ``pixel_values``: pre-normalized f32 NHWC (adapters, tests);
+    - ``pixel_values_u8``: host-resized [B, H, W] grayscale, normalized
+      on-device inside the surrounding jit (placement='host');
+    - ``canvas_u8`` + ``boxes`` (+ ``flips``/``stretches``): raw decode
+      canvases, crop/pad/resize/normalize fused on the MXU inside the train
+      step's jit (placement='device', SURVEY §3.3).
     """
     if "pixel_values" in batch:
         return batch["pixel_values"]
-    return normalize_u8(batch["pixel_values_u8"], dtype=dtype)
+    if "canvas_u8" in batch:
+        return fused_preprocess(
+            batch["canvas_u8"], batch["boxes"], out_size,
+            flips=batch.get("flips"), mean=mean, std=std, dtype=dtype,
+            stretches=batch.get("stretches"))
+    return normalize_u8(batch["pixel_values_u8"], mean=mean, std=std,
+                        dtype=dtype)

@@ -83,7 +83,9 @@ def make_train_step(cfg: Config, total_steps: int
 
     def loss_fn(params: Params, batch: Dict[str, jax.Array],
                 rng: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        images = prepare_pixel_values(batch)
+        images = prepare_pixel_values(
+            batch, out_size=cfg.model.img_size,
+            mean=cfg.data.image_mean, std=cfg.data.image_std)
         logits = vit.apply(params, images, cfg.model, train=True, rng=rng)
         return bce_with_logits(logits, batch["labels"]), logits
 
@@ -112,8 +114,10 @@ def make_eval_step(cfg: Config) -> Callable[[Params, Dict[str, jax.Array]],
     loop, like the Trainer's logit all-gather, SURVEY §3.4)."""
 
     def eval_step(params: Params, batch: Dict[str, jax.Array]) -> jax.Array:
-        return vit.apply(params, prepare_pixel_values(batch), cfg.model,
-                         train=False)
+        images = prepare_pixel_values(
+            batch, out_size=cfg.model.img_size,
+            mean=cfg.data.image_mean, std=cfg.data.image_std)
+        return vit.apply(params, images, cfg.model, train=False)
 
     return eval_step
 

@@ -121,7 +121,8 @@ class Trainer:
         return pipe.SampleLoader(
             index, self.bundle.blob_map, self.bundle.store,
             img_size=self.cfg.model.img_size,
-            placement="host",
+            placement=self.cfg.data.preprocess_placement,
+            canvas_size=self.cfg.data.decode_canvas,
             augment=augment and self.cfg.data.augment,
             prefer_native_decode=True)
 
