@@ -112,12 +112,16 @@ def _resize_center_crop(gray: np.ndarray, size: int) -> np.ndarray:
 
 def split_hf_dataset(dataset, seed: int = 42):
     """Version A's 80/10/10 scheme on an HF dataset (ViT-Training.py:39-46):
-    hold out 20% with the seed, split that half/half into val/test."""
+    hold out 20% with the seed, split that half/half into val/test.
+    Uses :func:`datasets_train_test_split` — bit-identical membership AND
+    row order to ``datasets.Dataset.train_test_split(seed=...)`` (PCG64
+    permutation), so splits line up sample-for-sample with a
+    reference-trained run."""
     n = len(dataset)
-    from chestxray_vit_tpu.data.metadata import train_test_split
+    from chestxray_vit_tpu.data.metadata import datasets_train_test_split
     idx = list(range(n))
-    train_idx, held = train_test_split(idx, 0.2, seed)
-    val_idx, test_idx = train_test_split(held, 0.5, seed)
+    train_idx, held = datasets_train_test_split(idx, 0.2, seed)
+    val_idx, test_idx = datasets_train_test_split(held, 0.5, seed)
     return (dataset.select(train_idx), dataset.select(val_idx),
             dataset.select(test_idx))
 

@@ -232,11 +232,33 @@ def train_test_split(items: Sequence, test_size: float,
     return [items[i] for i in train_idx], [items[i] for i in test_idx]
 
 
+def datasets_train_test_split(items: Sequence, test_size: float,
+                              seed: int) -> Tuple[list, list]:
+    """Bit-exact reimplementation of ``datasets.Dataset.train_test_split``
+    (the Version A reference's splitter, ViT-Training.py:39-46), which
+    permutes with ``np.random.default_rng`` (PCG64) — NOT sklearn's legacy
+    ``RandomState`` (MT19937). The two generators produce disjoint
+    permutations for the same seed, so split membership differs; verified
+    empirically against the real ``datasets`` library (n_test = ceil,
+    test = perm[:n_test], train = perm[n_test:n_test+n_train], order kept).
+    """
+    n = len(items)
+    n_test = int(math.ceil(test_size * n))
+    n_train = n - n_test
+    perm = np.random.default_rng(seed).permutation(n)
+    items = list(items)
+    return ([items[i] for i in perm[n_test:n_test + n_train]],
+            [items[i] for i in perm[:n_test]])
+
+
 def split_80_10_10(items: Sequence, seed: int = 42) -> Tuple[list, list, list]:
     """Version A's scheme (ViT-Training.py:39-46): hold out 20% with seed,
-    then split the held-out half/half into val and test with the same seed."""
-    train, held = train_test_split(items, test_size=0.2, seed=seed)
-    val, test = train_test_split(held, test_size=0.5, seed=seed)
+    then split the held-out half/half into val and test with the same seed.
+    Uses the datasets-library permutation (PCG64) so membership matches a
+    reference-trained run sample-for-sample; the sklearn-semantics
+    :func:`train_test_split` remains the Version B official-lists splitter."""
+    train, held = datasets_train_test_split(items, test_size=0.2, seed=seed)
+    val, test = datasets_train_test_split(held, test_size=0.5, seed=seed)
     return train, val, test
 
 

@@ -148,13 +148,36 @@ def test_train_test_split_matches_sklearn(n, test_size, seed):
     assert ours_test == ref_test
 
 
+@pytest.mark.parametrize("n,test_size,seed", [
+    (100, 0.2, 42), (101, 0.2, 42), (7, 0.5, 0), (1000, 0.15, 1),
+])
+def test_datasets_train_test_split_matches_hf_datasets(n, test_size, seed):
+    """The Version A splitter must be bit-identical (membership AND order)
+    to datasets.Dataset.train_test_split — the reference's actual splitter
+    (ViT-Training.py:39-46), which uses a PCG64 permutation, not sklearn's
+    MT19937."""
+    hfd = pytest.importorskip("datasets")
+    items = [f"img_{i:05d}.png" for i in range(n)]
+    ours_train, ours_test = md.datasets_train_test_split(items, test_size,
+                                                         seed)
+    ds = hfd.Dataset.from_dict({"name": items})
+    sp = ds.train_test_split(test_size=test_size, seed=seed)
+    assert ours_train == sp["train"]["name"]
+    assert ours_test == sp["test"]["name"]
+
+
 def test_split_80_10_10_matches_reference_scheme():
-    skms = pytest.importorskip("sklearn.model_selection")
+    """Version A chains two datasets.train_test_split calls
+    (ViT-Training.py:39-46); the oracle is the datasets library itself."""
+    hfd = pytest.importorskip("datasets")
     items = [f"img_{i:05d}.png" for i in range(500)]
     tr, va, te = md.split_80_10_10(items, seed=42)
-    ref_tr, held = skms.train_test_split(items, test_size=0.2, random_state=42)
-    ref_va, ref_te = skms.train_test_split(held, test_size=0.5, random_state=42)
-    assert (tr, va, te) == (ref_tr, ref_va, ref_te)
+    ds = hfd.Dataset.from_dict({"name": items})
+    sp = ds.train_test_split(test_size=0.2, seed=42)
+    held = sp["test"].train_test_split(test_size=0.5, seed=42)
+    assert tr == sp["train"]["name"]
+    assert va == held["train"]["name"]
+    assert te == held["test"]["name"]
     assert len(tr) + len(va) + len(te) == 500
 
 
