@@ -36,7 +36,8 @@ def _to_np(t: Any) -> np.ndarray:
 
 def params_from_hf_state_dict(state_dict: Mapping[str, Any],
                               cfg: ModelConfig,
-                              dtype: str = "float32") -> Dict[str, Any]:
+                              dtype: str = "float32",
+                              seed: int = 0) -> Dict[str, Any]:
     """Convert an HF ``ViTForImageClassification`` state dict to our pytree.
 
     Key layout relationships:
@@ -107,24 +108,31 @@ def params_from_hf_state_dict(state_dict: Mapping[str, Any],
     else:
         head_k = None
     if head_k is None:
-        rngk = np.random.default_rng(0)
-        head_k = (rngk.standard_normal((d, cfg.num_classes)) * 0.02).astype(dt)
+        # HF _init_weights semantics for the fresh classifier: truncated
+        # normal, std = initializer_range (0.02), zero bias — keyed by the
+        # run seed so head init is reproducible and config-controlled
+        init = jax.nn.initializers.truncated_normal(stddev=0.02)
+        head_k = np.asarray(init(jax.random.key(seed),
+                                 (d, cfg.num_classes), jnp.float32),
+                            dtype=dt)
         head_b = np.zeros((cfg.num_classes,), dt)
     params["head"] = {"kernel": head_k, "bias": head_b}
     return jax.tree.map(jnp.asarray, params)
 
 
 def params_from_safetensors(path: str, cfg: ModelConfig,
-                            dtype: str = "float32") -> Dict[str, Any]:
+                            dtype: str = "float32",
+                            seed: int = 0) -> Dict[str, Any]:
     """Load from a ``model.safetensors`` file (an HF snapshot dir works too)."""
     from safetensors.numpy import load_file
     if os.path.isdir(path):
         path = os.path.join(path, "model.safetensors")
-    return params_from_hf_state_dict(load_file(path), cfg, dtype)
+    return params_from_hf_state_dict(load_file(path), cfg, dtype, seed=seed)
 
 
 def load_pretrained(name_or_path: str, cfg: ModelConfig,
-                    dtype: str = "float32") -> Optional[Dict[str, Any]]:
+                    dtype: str = "float32",
+                    seed: int = 0) -> Optional[Dict[str, Any]]:
     """Best-effort pretrained load: a local safetensors path, the HF cache,
     or (when the environment has network) the HF hub. Returns None when the
     weights are unreachable — callers fall back to random init, mirroring the
@@ -132,7 +140,8 @@ def load_pretrained(name_or_path: str, cfg: ModelConfig,
     (pyc L375-L396)."""
     if os.path.exists(name_or_path):
         try:
-            return params_from_safetensors(name_or_path, cfg, dtype)
+            return params_from_safetensors(name_or_path, cfg, dtype,
+                                           seed=seed)
         except Exception as e:                        # noqa: BLE001
             print(f"[import_hf] local load failed: {e}")
             return None
@@ -143,7 +152,8 @@ def load_pretrained(name_or_path: str, cfg: ModelConfig,
             num_labels=cfg.num_classes,
             ignore_mismatched_sizes=True,
         )
-        return params_from_hf_state_dict(model.state_dict(), cfg, dtype)
+        return params_from_hf_state_dict(model.state_dict(), cfg, dtype,
+                                         seed=seed)
     except Exception as e:                            # noqa: BLE001
         print(f"[import_hf] pretrained load failed ({e}); using random init")
         return None

@@ -277,14 +277,47 @@ def apply_with_attention(params: Params, images: jax.Array,
     return head_logits(params, x, cfg), jnp.stack(all_probs)
 
 
+def _torch_bicubic_weights(out_size: int, in_size: int) -> jnp.ndarray:
+    """[out, in] 1-D resampling matrix matching
+    ``torch.nn.functional.interpolate(mode='bicubic',
+    align_corners=False)`` exactly: cubic-convolution kernel with a=-0.75
+    (torch/PIL convention; jax.image.resize uses the Keys kernel a=-0.5,
+    which differs numerically), source coord (i+0.5)*scale-0.5, and
+    replicate-edge tap clamping (clamped taps accumulate their weight)."""
+    import numpy as np
+
+    a = -0.75
+    scale = in_size / out_size
+
+    def cubic(x):
+        x = abs(x)
+        if x <= 1.0:
+            return (a + 2.0) * x**3 - (a + 3.0) * x**2 + 1.0
+        if x < 2.0:
+            return a * x**3 - 5.0 * a * x**2 + 8.0 * a * x - 4.0 * a
+        return 0.0
+
+    w = np.zeros((out_size, in_size), np.float64)
+    for i in range(out_size):
+        src = (i + 0.5) * scale - 0.5
+        i0 = int(np.floor(src))
+        t = src - i0
+        for k in range(-1, 3):
+            idx = min(max(i0 + k, 0), in_size - 1)
+            w[i, idx] += cubic(k - t)
+    return jnp.asarray(w, jnp.float32)
+
+
 def interpolate_pos_embed(pos_embed: jax.Array, new_seq_len: int
                           ) -> jax.Array:
     """Resize learned position embeddings to a new patch grid.
 
     [1, S_old, D] → [1, S_new, D]: the CLS slot is kept, the patch grid is
-    bicubic-resampled (HF `interpolate_pos_encoding` semantics) — how the
-    high-res @512 configs reuse @384 pretrained weights (1025 = 32² + 1
-    tokens from 577 = 24² + 1)."""
+    bicubic-resampled with torch/HF `interpolate_pos_encoding` numerics
+    (separable a=-0.75 cubic convolution as two matmuls, oracle-tested
+    against torch.nn.functional.interpolate) — how the high-res @512
+    configs reuse @384 pretrained weights (1025 = 32² + 1 tokens from
+    577 = 24² + 1)."""
     cls_tok, grid = pos_embed[:, :1], pos_embed[:, 1:]
     g_old = int(grid.shape[1] ** 0.5)
     g_new = int((new_seq_len - 1) ** 0.5)
@@ -293,10 +326,12 @@ def interpolate_pos_embed(pos_embed: jax.Array, new_seq_len: int
     if g_new == g_old:
         return pos_embed
     d = grid.shape[-1]
-    resized = jax.image.resize(
-        grid.reshape(1, g_old, g_old, d).astype(jnp.float32),
-        (1, g_new, g_new, d), method="bicubic")
-    resized = resized.reshape(1, g_new * g_new, d).astype(pos_embed.dtype)
+    w = _torch_bicubic_weights(g_new, g_old)             # [g_new, g_old]
+    g = grid.reshape(g_old, g_old, d).astype(jnp.float32)
+    # rows: [g_new, g_old, d]; then cols: [g_new, g_new, d]
+    g = jnp.einsum("oi,ijd->ojd", w, g)
+    g = jnp.einsum("oj,njd->nod", w, g)
+    resized = g.reshape(1, g_new * g_new, d).astype(pos_embed.dtype)
     return jnp.concatenate([cls_tok, resized], axis=1)
 
 

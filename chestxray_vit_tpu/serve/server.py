@@ -18,11 +18,15 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
+from urllib.parse import parse_qs, urlparse
 
 from chestxray_vit_tpu.serve.inference import Predictor
 
+# NIH natives are 1024² PNGs (< 1 MB); anything past this is not an X-ray
+MAX_BODY_BYTES = 32 * 1024 * 1024
 
-def make_handler(predictor: Predictor):
+
+def make_handler(predictor: Predictor, max_body: int = MAX_BODY_BYTES):
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -44,13 +48,30 @@ def make_handler(predictor: Predictor):
             return self._json(404, {"error": "not found"})
 
         def do_POST(self):
-            if not self.path.startswith("/predict"):
+            url = urlparse(self.path)
+            if url.path.rstrip("/") != "/predict":
                 return self._json(404, {"error": "not found"})
-            length = int(self.headers.get("Content-Length", 0))
-            if length == 0:
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except ValueError:
+                return self._json(400, {"error": "bad Content-Length"})
+            if length <= 0:
                 return self._json(400, {"error": "empty body"})
+            if length > max_body:
+                # drain what the client already sent so the response can be
+                # delivered instead of a reset mid-upload
+                remaining = length
+                while remaining > 0:
+                    chunk = self.rfile.read(min(remaining, 1 << 20))
+                    if not chunk:
+                        break
+                    remaining -= len(chunk)
+                self.close_connection = True
+                return self._json(413, {
+                    "error": f"body exceeds {max_body} bytes"})
             data = self.rfile.read(length)
-            with_maps = "maps=1" in self.path
+            query = parse_qs(url.query)
+            with_maps = query.get("maps", ["0"])[-1] == "1"
             try:
                 with lock:
                     out = predictor.predict_bytes([data],

@@ -60,7 +60,7 @@ class Trainer:
         params = None
         if pretrained:
             params = import_hf.load_pretrained(
-                cfg.model.model_name, cfg.model)
+                cfg.model.model_name, cfg.model, seed=cfg.train.seed)
         if params is None:
             params = vit.init_params(
                 jax.random.key(cfg.train.seed), cfg.model)

@@ -40,6 +40,25 @@ def test_interpolate_preserves_smooth_fields():
     assert np.abs(interior - expect[:, None]).max() < 0.05
 
 
+@pytest.mark.parametrize("g_old,g_new", [(24, 32), (24, 16), (8, 17)])
+def test_interpolate_matches_torch_bicubic(rng, g_old, g_new):
+    """HF interpolate_pos_encoding resamples with
+    torch.nn.functional.interpolate(mode='bicubic', align_corners=False);
+    our separable a=-0.75 kernel must match it to float tolerance."""
+    torch = pytest.importorskip("torch")
+    d = 32
+    grid = rng.standard_normal((1, g_old * g_old, d)).astype(np.float32)
+    pe = jnp.asarray(np.concatenate(
+        [rng.standard_normal((1, 1, d)).astype(np.float32), grid], axis=1))
+    ours = np.asarray(vit.interpolate_pos_embed(pe, g_new * g_new + 1))[0, 1:]
+    t = torch.from_numpy(grid.reshape(g_old, g_old, d)) \
+        .permute(2, 0, 1).unsqueeze(0)
+    ref = torch.nn.functional.interpolate(
+        t, size=(g_new, g_new), mode="bicubic", align_corners=False)
+    ref = ref.squeeze(0).permute(1, 2, 0).reshape(g_new * g_new, d).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
+
+
 def test_adapt_params_to_512(rng):
     cfg384 = ModelConfig(img_size=384, hidden_size=64, num_layers=1,
                          num_heads=4, mlp_dim=64, num_classes=3,

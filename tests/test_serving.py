@@ -196,5 +196,27 @@ def test_http_server_end_to_end(rng):
             raise AssertionError("expected 404")
         except urllib.error.HTTPError as e:
             assert e.code == 404
+
+        # oversize body → 413 (the cap guards the threaded read)
+        from chestxray_vit_tpu.serve import server as srv
+        big = urllib.request.Request(
+            base + "/predict", data=b"x" * (srv.MAX_BODY_BYTES + 1),
+            method="POST")
+        try:
+            urllib.request.urlopen(big)
+            raise AssertionError("expected 413")
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+
+        # maps must be parsed from the query string, not substring-matched:
+        # a stray 'maps=1' in another parameter's value doesn't trigger maps
+        req = urllib.request.Request(base + "/predict?note=maps%3D1",
+                                     data=blob, method="POST")
+        out = json.loads(urllib.request.urlopen(req).read())
+        assert "attention_map" not in out
+        req = urllib.request.Request(base + "/predict?maps=0", data=blob,
+                                     method="POST")
+        out = json.loads(urllib.request.urlopen(req).read())
+        assert "attention_map" not in out
     finally:
         server.shutdown()
