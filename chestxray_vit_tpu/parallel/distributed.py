@@ -79,7 +79,7 @@ def form_global_batch(mesh: Mesh, host_batch: Dict[str, np.ndarray]
     from jax.experimental import multihost_utils
     to_global = functools.partial(
         multihost_utils.host_local_array_to_global_array,
-        global_mesh=mesh, pspec=spec)
+        global_mesh=mesh, pspecs=spec)
     return {k: to_global(v) for k, v in host_batch.items()}
 
 
@@ -90,3 +90,35 @@ def process_allgather(x):
         return np.asarray(x)
     from jax.experimental import multihost_utils
     return np.asarray(multihost_utils.process_allgather(x))
+
+
+def host_batch_slice(global_batch: int) -> Optional[tuple]:
+    """(start, stop) of the global batch this host loads, or None on a
+    single process (load everything). Feed to
+    ``pipeline.iterate_batches(host_range=...)`` so each host decodes only
+    its shard — I/O scales out with hosts, no duplicated decode."""
+    if jax.process_count() == 1:
+        return None
+    r = host_shard_range(global_batch)
+    return (r.start, r.stop)
+
+
+def gather_global_rows(mesh: Mesh, x) -> np.ndarray:
+    """Batch-sharded global jax.Array → full host ndarray on every process
+    (the eval-loop logit gather, SURVEY §3.4). Identity single-process."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    local = multihost_utils.global_array_to_host_local_array(
+        x, mesh, P(("data", "fsdp")))  # positional pspecs arg
+    return np.asarray(multihost_utils.process_allgather(local, tiled=True))
+
+
+def allgather_host_rows(x) -> np.ndarray:
+    """Concatenate per-host row shards across processes (labels assembled on
+    the host side). Identity single-process."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(
+        np.asarray(x), tiled=True))

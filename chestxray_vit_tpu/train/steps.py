@@ -17,6 +17,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from chestxray_vit_tpu.config import Config
@@ -204,5 +205,29 @@ def jit_eval_step(eval_step, mesh: Mesh, params: Params):
 
 
 def place_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place host-initialized train state onto the mesh.
+
+    Single-process: plain device_put. Multi-host: device_put cannot target
+    non-addressable devices, so each leaf becomes a global array via
+    ``make_array_from_callback`` (every process holds the full value — init
+    is seed-deterministic — and each addressable device reads its slice).
+    PRNG key leaves are unwrapped to uint32 key data and re-wrapped, since
+    extended dtypes can't cross the numpy boundary.
+    """
     sh = _state_shardings(mesh, state)
-    return jax.tree.map(jax.device_put, state, sh)
+    if jax.process_count() == 1:
+        return jax.tree.map(jax.device_put, state, sh)
+
+    def put(x, s):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+            impl = jax.random.key_impl(x)
+            data = np.asarray(jax.random.key_data(x))
+            arr = jax.make_array_from_callback(
+                data.shape, jax.sharding.NamedSharding(mesh, P()),
+                lambda idx: data[idx])
+            return jax.random.wrap_key_data(arr, impl=impl)
+        xh = np.asarray(x)
+        return jax.make_array_from_callback(xh.shape, s,
+                                            lambda idx: xh[idx])
+
+    return jax.tree.map(put, state, sh)

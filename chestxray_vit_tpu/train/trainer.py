@@ -24,6 +24,7 @@ from chestxray_vit_tpu.data import pipeline as pipe
 from chestxray_vit_tpu.data.storage import Store
 from chestxray_vit_tpu.eval import metrics as M
 from chestxray_vit_tpu.models import import_hf, vit
+from chestxray_vit_tpu.parallel import distributed as dist
 from chestxray_vit_tpu.parallel import mesh as mesh_lib
 from chestxray_vit_tpu.train import checkpoint as ckpt
 from chestxray_vit_tpu.train import steps as S
@@ -86,7 +87,14 @@ class Trainer:
         self._build_steps()
 
         out_dir = os.path.expanduser(cfg.train.output_dir)
-        self.logger = MetricLogger(out_dir, cfg.train.report_to)
+        # multi-host: one logical log — non-primary processes keep their own
+        # jsonl (debug) but skip TensorBoard/results (the reference's
+        # per-rank output dirs are a known pathology, SURVEY §5)
+        self.logger = MetricLogger(
+            out_dir,
+            cfg.train.report_to if dist.is_primary() else "none",
+            jsonl_name=("metrics.jsonl" if dist.is_primary() else
+                        f"metrics.rank{jax.process_index()}.jsonl"))
         self.profiler = StepProfiler(out_dir, cfg.train.profile_steps)
         self.ckpt = ckpt.CheckpointManager(
             os.path.join(out_dir, "checkpoints"),
@@ -135,9 +143,12 @@ class Trainer:
             num_workers=self.cfg.data.num_workers,
             prefetch_batches=self.cfg.data.prefetch_depth,
             drop_last=True,
-            skip_batches=skip)   # resume skips before any fetch/decode
+            skip_batches=skip,   # resume skips before any fetch/decode
+            # multi-host: this process decodes only its shard of each
+            # global batch; form_global_batch assembles the global array
+            host_range=dist.host_batch_slice(self.global_batch))
         for batch in it:
-            yield mesh_lib.shard_batch(self.mesh, batch)
+            yield dist.form_global_batch(self.mesh, batch)
 
     # ------------------------------------------------------------------
     # train
@@ -272,12 +283,14 @@ class Trainer:
                 loader, self.eval_batch,
                 num_workers=self.cfg.data.num_workers,
                 prefetch_batches=self.cfg.data.prefetch_depth,
-                pad_last=True):
-            n_valid = int(batch.pop("num_valid"))
-            placed = mesh_lib.shard_batch(self.mesh, batch)
-            logits = np.asarray(self._eval_step(self.state.params, placed))
+                pad_last=True,
+                host_range=dist.host_batch_slice(self.eval_batch)):
+            n_valid = int(batch.pop("num_valid"))     # global valid count
+            placed = dist.form_global_batch(self.mesh, batch)
+            logits = dist.gather_global_rows(
+                self.mesh, self._eval_step(self.state.params, placed))
             logits = logits[:n_valid]
-            labels = batch["labels"][:n_valid]
+            labels = dist.allgather_host_rows(batch["labels"])[:n_valid]
             loss = float(S.bce_with_logits(
                 jax.numpy.asarray(logits), jax.numpy.asarray(labels)))
             total_loss += loss * n_valid

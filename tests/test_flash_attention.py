@@ -66,6 +66,31 @@ def test_bf16_inputs_f32_math(rng):
                                np.asarray(ref), atol=3e-2, rtol=3e-2)
 
 
+@pytest.mark.parametrize("block_bh", [1, 2, 3, 8, 64])
+def test_block_bh_variants_match_xla(rng, block_bh):
+    """The (batch·head)-blocked grid must be numerically identical for any
+    block_bh (including non-divisors, which clamp to the largest divisor)."""
+    q, k, v = _qkv(rng, b=2, h=3, s=130, d=64)   # BH = 6
+    out = flash_attention(q, k, v, None, 128, block_bh)
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    g = jnp.asarray(rng.standard_normal(q.shape), jnp.float32)
+    dq, dk, dv = jax.grad(
+        lambda q, k, v: jnp.sum(flash_attention(q, k, v, None, 128,
+                                                block_bh) * g),
+        argnums=(0, 1, 2))(q, k, v)
+    rq, rk, rv = jax.grad(
+        lambda q, k, v: jnp.sum(attention_xla(q, k, v) * g),
+        argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_dispatch_uses_xla_on_cpu(rng):
     q, k, v = _qkv(rng, s=64)
     np.testing.assert_allclose(np.asarray(attention(q, k, v, impl="auto")),

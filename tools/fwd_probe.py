@@ -22,14 +22,16 @@ def main() -> None:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     impl = sys.argv[2] if len(sys.argv) > 2 else "auto"
     block_q = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    block_bh = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     cfg = ModelConfig(num_classes=15, attention_impl=impl)
-    if block_q:
+    if block_q or block_bh:
         import chestxray_vit_tpu.ops.flash_attention as fa
         orig = fa.attention
 
-        def patched(q, k, v, impl="auto", block_q_arg=0):
-            return orig(q, k, v, impl=impl, block_q=block_q)
+        def patched(q, k, v, impl="auto", **_):
+            return orig(q, k, v, impl=impl, block_q=block_q,
+                        block_bh=block_bh or fa.DEFAULT_BLOCK_BH)
         fa.attention = patched
         vit.attention = patched
 
