@@ -83,6 +83,7 @@ def iterate_packed_batches(
     shuffle: bool = True,
     seed: int = 42,
     num_workers: int = 8,
+    skip_images: int = 0,
 ):
     """Stream the NIH pipeline into fixed-shape packed batches.
 
@@ -90,7 +91,17 @@ def iterate_packed_batches(
     sequences, and yields dict batches of exactly ``batch_seqs`` sequences
     (static shapes for the jitted packed train step). The tail batch is
     padded with empty sequences. Yields the same keys
-    ``make_packed_train_step`` consumes.
+    ``make_packed_train_step`` consumes, plus two host-side counters the
+    caller pops before device placement:
+
+    - ``n_seqs``: how many sequences are real (the padded tail batch has
+      fewer than ``batch_seqs``);
+    - ``n_images``: images in this batch. Emitted batches always cover a
+      PREFIX of the epoch order (the open in-flight pack holds the newest
+      suffix), so a checkpoint cursor can store the cumulative image count
+      and resume with ``skip_images`` — no re-fetch/re-decode of trained
+      data, and next-fit packing of the remaining stream is bit-identical
+      to the uninterrupted run's.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -100,6 +111,8 @@ def iterate_packed_batches(
     offsets = grid_table_offsets(grids)
     n = len(index)
     order = epoch_order(n, epoch, seed, shuffle)
+    if skip_images:
+        order = order[skip_images:]   # resume: skip BEFORE any fetch/decode
     num_classes = index.labels.shape[1]
 
     def load(i: int):
@@ -144,6 +157,8 @@ def iterate_packed_batches(
                 out["labels"][s, slot] = lab
                 out["image_mask"][s, slot] = True
                 cursor += m
+        out["n_seqs"] = np.asarray(len(seqs), np.int32)
+        out["n_images"] = np.asarray(sum(len(s) for s in seqs), np.int32)
         return out
 
     # bounded submission: keep at most ~4 batches of decodes in flight so a
@@ -182,6 +197,59 @@ def iterate_packed_batches(
         closed.append(current)
     if closed:
         yield assemble(closed)
+
+
+def sample_token_counts(index, blob_map: Dict[str, str], store, *,
+                        patch: int = 16,
+                        grids: Sequence[int] = (16, 24, 32),
+                        sample: int = 128,
+                        num_workers: int = 8) -> List[int]:
+    """Token counts (grid²) of an evenly-spaced sample of the dataset —
+    the cheap census behind :func:`estimate_sequences_per_epoch`. Decodes
+    only ``sample`` images (header dims decide the grid, but stores serve
+    whole blobs, so a bounded decode sample is the honest cheap pass)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from chestxray_vit_tpu.data import decode as dec
+
+    n = len(index)
+    if n == 0:
+        return []
+    idxs = np.unique(np.linspace(0, n - 1, min(sample, n)).astype(int))
+
+    def count(i: int) -> int:
+        blob = blob_map.get(index.filenames[int(i)])
+        data = None
+        if blob is not None:
+            try:
+                data = store.get(blob)
+            except Exception:                           # noqa: BLE001
+                data = None
+        gray = dec.safe_decode_gray(data)
+        g = choose_grid(gray.shape[0], gray.shape[1], patch, grids)
+        return g * g
+
+    with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as pool:
+        return list(pool.map(count, idxs))
+
+
+def estimate_sequences_per_epoch(token_counts: Sequence[int], n_images: int,
+                                 seq_len: int, cap: int) -> int:
+    """Simulate the next-fit packer over ``n_images`` draws cycling the
+    sampled ``token_counts``: how many sequences one epoch produces.
+    Exact when resolutions are uniform (NIH natives are all 1024²); a
+    sampled estimate otherwise — far tighter than a min-tokens bound."""
+    if not token_counts or n_images == 0:
+        return 0
+    seqs, used, members = 0, 0, 0
+    for t in range(n_images):
+        m = token_counts[t % len(token_counts)]
+        if used + m > seq_len or members >= cap:
+            seqs += 1
+            used, members = 0, 0
+        used += m
+        members += 1
+    return seqs + (1 if members else 0)
 
 
 def pack_images(

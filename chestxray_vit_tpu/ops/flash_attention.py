@@ -117,36 +117,57 @@ def _bwd_kernel_seg(q_ref, k_ref, v_ref, seg_ref, do_ref, o_ref,
     dv_ref[0] += dv_part.astype(dv_ref.dtype)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, seq_len: int,
+_LOG2E = 1.4426950408889634
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
                 sm_scale: float):
     # Dots take the input dtype (bf16 on the training path) so the MXU runs
     # native bf16 passes with f32 accumulation; softmax math stays f32.
     # All tensors carry a leading [block_bh] batch-of-heads dim: one grid
     # step covers several (batch, head) pairs, amortizing per-step overhead
-    # and letting the VPU softmax chain vectorize across the sublane dim —
-    # measured ~2x forward-pass win vs one (batch, head) per step at ViT-B.
-    q = q_ref[...]                                 # [bb, bq, d]
+    # and letting the VPU softmax chain vectorize across the sublane dim.
+    #
+    # VPU-lean softmax (the kernel is VPU-bound, not MXU-bound, at ViT
+    # head_dim): exactly THREE full passes over the [bb, bq, S] score tile —
+    # max-reduce, fused (s-m)*c → exp2 → bf16 cast, and a masked sum-reduce.
+    # No scale pass (folded into the exp2 argument), no -inf masking pass:
+    # zero-padded K columns yield s = 0, which the running max keeps finite
+    # (m ≥ 0 cancels exactly in p/l), and the [1, S] pad mask multiplies the
+    # sum instead of biasing the scores. Padded V rows are zero, so padded
+    # columns never touch the output.
+    q = q_ref[...]                                 # [bb, Q_pad, d]
     k = k_ref[...]                                 # [bb, S_pad, d]
     v = v_ref[...]                                 # [bb, S_pad, d]
 
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) * sm_scale                                   # [bb, bq, S_pad] f32
+    )                                              # [bb, bq, S_pad], UNscaled
 
-    s_pad = k.shape[1]
-    if seq_len < s_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where(col < seq_len, s, _NEG_INF)
-
+    # m ≥ 0 automatically when padded (pad columns contribute s = 0);
+    # any m ≥ max(valid s) keeps the exp2 in range and cancels exactly
     m = jnp.max(s, axis=-1, keepdims=True)         # [bb, bq, 1]
-    p = jnp.exp(s - m)                             # [bb, bq, S_pad]
-    l = jnp.sum(p, axis=-1, keepdims=True)         # [bb, bq, 1]
+    c = sm_scale * _LOG2E
+    arg = (s - m) * c
+    if q.dtype == jnp.bfloat16:
+        # bf16 training path: the exp2 pass runs at 2x lane throughput and
+        # feeds the MXU dots directly; the normalizer accumulates in f32 on
+        # the MXU (masked-ones contraction), so l keeps full precision
+        p = jnp.exp2(arg.astype(jnp.bfloat16))     # [bb, bq, S_pad] bf16
+    else:
+        p = jnp.exp2(arg)
+    # l via the MXU instead of a VPU reduce-pass; the [S_pad, 1] masked-ones
+    # column also applies the pad mask for free
+    l = jax.lax.dot_general(
+        p, mask_ref[...].astype(p.dtype), (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # [bb, bq, 1] f32
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) / l
     o_ref[...] = o.astype(o_ref.dtype)
-    lse_ref[...] = (m + jnp.log(l)).astype(jnp.float32)  # [bb, bq, 1]
+    # natural-log lse for the backward: lse = scale·m + ln(l)
+    lse_ref[...] = (m * sm_scale + jnp.log(l)).astype(jnp.float32)
 
 
 def _pick_block_bh(bh: int, target: int) -> int:
@@ -157,15 +178,21 @@ def _pick_block_bh(bh: int, target: int) -> int:
     return b
 
 
+def _pad_mask(seq_len: int, s_pad: int) -> jax.Array:
+    """[S_pad, 1] f32 masked-ones column: 1.0 on valid rows, 0.0 on padding
+    (doubles as the softmax-normalizer contraction operand)."""
+    return (jnp.arange(s_pad) < seq_len).astype(jnp.float32)[:, None]
+
+
 def _fwd(q: jax.Array, k: jax.Array, v: jax.Array, seq_len: int,
          sm_scale: float, block_q: int, block_bh: int
          ) -> Tuple[jax.Array, jax.Array]:
-    bh, s_pad, d = q.shape
-    n_q = s_pad // block_q
+    bh, q_pad, d = q.shape
+    s_pad = k.shape[1]
+    n_q = q_pad // block_q
     bb = _pick_block_bh(bh, block_bh)
     grid = (bh // bb, n_q)
-    kernel = functools.partial(_fwd_kernel, seq_len=seq_len,
-                               sm_scale=sm_scale)
+    kernel = functools.partial(_fwd_kernel, sm_scale=sm_scale)
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -176,6 +203,8 @@ def _fwd(q: jax.Array, k: jax.Array, v: jax.Array, seq_len: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, s_pad, d), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_pad, 1), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((bb, block_q, d), lambda b, i: (b, i, 0),
@@ -184,19 +213,19 @@ def _fwd(q: jax.Array, k: jax.Array, v: jax.Array, seq_len: int,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, s_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bh, q_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, q_pad, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * bh * s_pad * s_pad * d,
+            flops=4 * bh * q_pad * s_pad * d,
             bytes_accessed=bh * s_pad * d * 3 * q.dtype.itemsize,
-            transcendentals=bh * s_pad * s_pad,
+            transcendentals=bh * q_pad * s_pad,
         ),
         interpret=_interpret(),
-    )(q, k, v)
+    )(q, k, v, _pad_mask(seq_len, s_pad))
     return out, lse
 
 
@@ -205,7 +234,7 @@ def _fwd(q: jax.Array, k: jax.Array, v: jax.Array, seq_len: int,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
-                dq_ref, dk_ref, dv_ref, *, seq_len: int, sm_scale: float):
+                dq_ref, dk_ref, dv_ref, *, sm_scale: float):
     qi = pl.program_id(1)
 
     q = q_ref[...]                                 # [bb, bq, d]
@@ -215,17 +244,24 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     o = o_ref[...]                                 # [bb, bq, d]
     lse = lse_ref[...]                             # [bb, bq, 1] f32
 
+    # VPU-lean backward: TWO full passes over the [bb, bq, S] tile — the
+    # fused exp2 recompute of P, and the fused P·(dP−Δ) chain. No masking
+    # passes: zero-padded dO rows kill pad-Q contributions, zero-padded V
+    # rows zero dP's pad columns, zero-padded K rows zero pad columns'
+    # dQ contributions, and pad rows of dK/dV are sliced off by the caller.
+    # The softmax scale is applied to the small dQ/dK outputs by the
+    # wrapper, not to the S²-sized dS.
     bdims = ((0,), (0,))
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), bdims),
         preferred_element_type=jnp.float32,
-    ) * sm_scale                                   # [bb, bq, S_pad] f32
-    s_pad = k.shape[1]
-    if seq_len < s_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where(col < seq_len, s, _NEG_INF)
-    p = jnp.exp(s - lse)                           # [bb, bq, S_pad] f32
-    p_lo = p.astype(v.dtype)
+    )                                              # [bb, bq, S_pad], UNscaled
+    c = sm_scale * _LOG2E
+    arg = s * c - lse * _LOG2E
+    if q.dtype == jnp.bfloat16:
+        p_lo = jnp.exp2(arg.astype(jnp.bfloat16))  # 2x-throughput exp2
+    else:
+        p_lo = jnp.exp2(arg).astype(q.dtype)
 
     # dV += Pᵀ dO
     dv_part = jax.lax.dot_general(
@@ -239,8 +275,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     )                                              # [bb, bq, S_pad] f32
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1, keepdims=True)        # [bb, bq, 1]
-    ds = (p * (dp - delta) * sm_scale)             # [bb, bq, S_pad] f32
-    ds_lo = ds.astype(q.dtype)
+    ds_lo = (p_lo * (dp - delta).astype(q.dtype))  # unscaled dS, one pass
 
     dq_ref[...] = jax.lax.dot_general(
         ds_lo, k, (((2,), (1,)), bdims),
@@ -260,14 +295,14 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     dv_ref[...] += dv_part.astype(dv_ref.dtype)
 
 
-def _bwd(q, k, v, do, o, lse, seq_len: int, sm_scale: float, block_q: int,
+def _bwd(q, k, v, do, o, lse, sm_scale: float, block_q: int,
          block_bh: int):
-    bh, s_pad, d = q.shape
-    n_q = s_pad // block_q
+    bh, q_pad, d = q.shape
+    s_pad = k.shape[1]
+    n_q = q_pad // block_q
     bb = _pick_block_bh(bh, block_bh)
     grid = (bh // bb, n_q)
-    kernel = functools.partial(_bwd_kernel, seq_len=seq_len,
-                               sm_scale=sm_scale)
+    kernel = functools.partial(_bwd_kernel, sm_scale=sm_scale)
     qspec = pl.BlockSpec((bb, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM)
     kvspec = pl.BlockSpec((bb, s_pad, d), lambda b, i: (b, 0, 0),
@@ -280,7 +315,7 @@ def _bwd(q, k, v, do, o, lse, seq_len: int, sm_scale: float, block_q: int,
                                memory_space=pltpu.VMEM)],
         out_specs=[qspec, kvspec, kvspec],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, q_pad, d), q.dtype),
             # f32 accumulators for dK/dV regardless of input dtype
             jax.ShapeDtypeStruct((bh, s_pad, d), jnp.float32),
             jax.ShapeDtypeStruct((bh, s_pad, d), jnp.float32),
@@ -289,13 +324,17 @@ def _bwd(q, k, v, do, o, lse, seq_len: int, sm_scale: float, block_q: int,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=10 * bh * s_pad * s_pad * d,
+            flops=10 * bh * q_pad * s_pad * d,
             bytes_accessed=bh * s_pad * d * 6 * q.dtype.itemsize,
-            transcendentals=bh * s_pad * s_pad,
+            transcendentals=bh * q_pad * s_pad,
         ),
         interpret=_interpret(),
     )(q, k, v, do, o, lse)
-    return dq, dk.astype(q.dtype), dv.astype(q.dtype)
+    # the softmax scale rides the small [BH, S, d] outputs (fused into the
+    # caller's unpad slice by XLA), not the kernel's S²-sized dS tile
+    return (dq * sm_scale if sm_scale != 1.0 else dq,
+            (dk * sm_scale).astype(q.dtype),
+            dv.astype(q.dtype))
 
 
 def _seg_spec(s_pad: int):
@@ -458,14 +497,27 @@ def _prep(x: jax.Array, s_pad: int) -> jax.Array:
     return x
 
 
+def _q_blocking(s: int, block_q: int) -> Tuple[int, int]:
+    """(q_pad, effective block) — Q rows only need sublane-tile (16)
+    alignment when a single block covers the sequence, while K/V pad to the
+    128-lane scores dim. 577 → Q rows 592 instead of 640: ~8% less VPU
+    softmax work per score tile."""
+    if block_q >= s:
+        q_pad = _pad_len(s, 16)
+        return q_pad, q_pad
+    return _pad_len(s, block_q), block_q
+
+
 def _flash_fwd_rule(q, k, v, sm_scale, block_q, block_bh=DEFAULT_BLOCK_BH):
     from jax.ad_checkpoint import checkpoint_name
 
     b, h, s, d = q.shape
     scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
-    s_pad = _pad_len(s, block_q)
-    qp, kp, vp = (_prep(x, s_pad) for x in (q, k, v))
-    out, lse = _fwd(qp, kp, vp, s, scale, block_q, block_bh)
+    k_pad = _pad_len(s, DEFAULT_BLOCK_Q)
+    q_pad, bq = _q_blocking(s, block_q)
+    qp = _prep(q, q_pad)
+    kp, vp = _prep(k, k_pad), _prep(v, k_pad)
+    out, lse = _fwd(qp, kp, vp, s, scale, bq, block_bh)
     o = out[:, :s, :].reshape(b, h, s, d)
     # named so selective remat policies ('attn') can choose to recompute
     # these residuals instead of holding them in HBM
@@ -477,9 +529,9 @@ def _flash_fwd_rule(q, k, v, sm_scale, block_q, block_bh=DEFAULT_BLOCK_BH):
 def _flash_bwd_rule(sm_scale, block_q, block_bh, res, g):
     qp, kp, vp, out, lse, (b, h, s, d) = res
     scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
-    s_pad = qp.shape[1]
-    gp = _prep(g.astype(qp.dtype), s_pad)
-    dq, dk, dv = _bwd(qp, kp, vp, gp, out, lse, s, scale, block_q, block_bh)
+    _, bq = _q_blocking(s, block_q)
+    gp = _prep(g.astype(qp.dtype), qp.shape[1])
+    dq, dk, dv = _bwd(qp, kp, vp, gp, out, lse, scale, bq, block_bh)
     unprep = lambda x: x[:, :s, :].reshape(b, h, s, d)
     return unprep(dq), unprep(dk), unprep(dv)
 

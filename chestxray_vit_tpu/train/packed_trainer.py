@@ -7,8 +7,13 @@ packed-trained model has no trained CLS token — per-image masked mean
 pooling is its readout in both phases).
 
 Notes:
-- mid-epoch resume restarts the epoch (packing boundaries are
-  content-dependent; the cursor stores the epoch only).
+- mid-epoch resume is EXACT and skips before I/O: emitted packed batches
+  always cover a prefix of the epoch order, so the checkpoint cursor stores
+  the cumulative image count and resume re-packs the remaining stream
+  bit-identically without re-fetching/re-decoding trained images.
+- steps/epoch comes from a sampled token census driven through the real
+  next-fit packer (exact for uniform-resolution data like NIH 1024²), not
+  a heuristic bound — the lr schedule and epoch cadence use true steps.
 - the global batch is ``batch_seqs`` sequences, sharded on the data axis
   (``batch_seqs`` must be divisible by the data-parallel world size).
 """
@@ -24,6 +29,7 @@ from chestxray_vit_tpu.config import Config
 from chestxray_vit_tpu.data import packing as pk
 from chestxray_vit_tpu.models import packed as packed_model
 from chestxray_vit_tpu.parallel import mesh as mesh_lib
+from chestxray_vit_tpu.train import checkpoint as ckpt
 from chestxray_vit_tpu.train import steps as S
 from chestxray_vit_tpu.train.trainer import Trainer
 
@@ -31,21 +37,37 @@ from chestxray_vit_tpu.train.trainer import Trainer
 class PackedTrainer(Trainer):
     def __init__(self, cfg: Config, *, seq_len: int = 1152,
                  grids: Tuple[int, ...] = (16, 24, 32),
-                 batch_seqs: int = 8, **kw):
+                 batch_seqs: int = 8, census_sample: int = 128, **kw):
         self.seq_len = seq_len
         self.grids = tuple(grids)
         self.batch_seqs = batch_seqs
+        self._images_emitted = 0
         super().__init__(cfg, **kw)
         dp = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
         if batch_seqs % dp:
             raise ValueError(f"batch_seqs={batch_seqs} not divisible by "
                              f"data-parallel world size {dp}")
-        # ≥1 image per sequence; epoch accounting is approximate (packing
-        # density is content-dependent) — use a conservative lower bound
-        min_tokens = min(g * g for g in self.grids)
-        imgs_per_seq = max(self.seq_len // (min_tokens * 4), 1)
-        self.steps_per_epoch = max(
-            len(self.bundle.train) // (batch_seqs * imgs_per_seq), 1)
+        # measured epoch accounting: sampled token census through the real
+        # next-fit packer (replaces the old min_tokens*4 guess)
+        cap = self.seq_len // min(g * g for g in self.grids)
+        counts = pk.sample_token_counts(
+            self.bundle.train, self.bundle.blob_map, self.bundle.store,
+            patch=cfg.model.patch_size, grids=self.grids,
+            sample=census_sample, num_workers=cfg.data.num_workers)
+        total_seqs = pk.estimate_sequences_per_epoch(
+            counts, len(self.bundle.train), self.seq_len, cap)
+        # tail batch is dropped in training (static shapes, drop_last parity)
+        self.steps_per_epoch = max(total_seqs // batch_seqs, 1)
+        # the base __init__ derived total_steps (the lr-schedule horizon)
+        # from dense sample counting; re-derive from true packed steps and
+        # re-jit so the schedule decays over real steps
+        import math
+        new_total = (cfg.train.max_steps
+                     or int(math.ceil(self.steps_per_epoch
+                                      * cfg.train.num_epochs)))
+        if new_total != self.total_steps:
+            self.total_steps = new_total
+            self._build_steps()
 
     def _has_full_batch(self) -> bool:
         return len(self.bundle.train) > 0
@@ -58,7 +80,7 @@ class PackedTrainer(Trainer):
 
     # ------------------------------------------------------------------
 
-    def _packed_iter(self, index, epoch: int
+    def _packed_iter(self, index, epoch: int, skip_images: int = 0
                      ) -> Iterator[Dict[str, np.ndarray]]:
         return pk.iterate_packed_batches(
             index, self.bundle.blob_map, self.bundle.store,
@@ -67,17 +89,32 @@ class PackedTrainer(Trainer):
             seq_len=self.seq_len, grids=self.grids,
             epoch=epoch, shuffle=True,
             seed=self.cfg.data.shuffle_buffer_seed,
-            num_workers=self.cfg.data.num_workers)
+            num_workers=self.cfg.data.num_workers,
+            skip_images=skip_images)
 
     def _train_batches(self, epoch: int, skip: int = 0):
-        # packing boundaries are content-dependent → resume restarts epoch
-        for i, batch in enumerate(self._packed_iter(self.bundle.train,
-                                                    epoch)):
-            if batch["tokens"].shape[0] != self.batch_seqs:
-                continue   # drop the padded tail batch (static shapes)
-            if i < skip:
-                continue
+        """``skip`` counts IMAGES (not batches): emitted packed batches
+        cover a prefix of the epoch order, so skipping the prefix before
+        any fetch/decode and re-packing the remainder reproduces the
+        uninterrupted run's batches exactly (see iterate_packed_batches)."""
+        self._images_emitted = skip
+        for batch in self._packed_iter(self.bundle.train, epoch,
+                                       skip_images=skip):
+            n_seqs = int(batch.pop("n_seqs"))
+            n_images = int(batch.pop("n_images"))
+            if n_seqs < self.batch_seqs:
+                continue   # drop the zero-padded tail batch (drop_last)
+            self._images_emitted += n_images
             yield mesh_lib.shard_batch(self.mesh, batch)
+
+    def _save(self, step: int, epoch: int, batch_idx: int) -> None:
+        # the packed cursor stores images consumed, not batch count
+        metrics = (self._last_eval_metrics
+                   if getattr(self, "_last_eval_step", -1) == step else None)
+        images = 0 if batch_idx == 0 else self._images_emitted
+        self.ckpt.save(step, self.state,
+                       cursor=ckpt.DataCursor(epoch, images),
+                       metrics=metrics)
 
     # ------------------------------------------------------------------
 
@@ -103,19 +140,11 @@ class PackedTrainer(Trainer):
                 seq_len=self.seq_len, grids=self.grids,
                 epoch=0, shuffle=False,
                 num_workers=self.cfg.data.num_workers):
-            # pad the tail batch to the static sequence count
-            n_seqs = batch["tokens"].shape[0]
-            if n_seqs < self.batch_seqs:
-                padn = self.batch_seqs - n_seqs
-
-                def pad(k, v):
-                    fill = np.zeros_like(v[:1])
-                    if k == "segment_ids":
-                        fill = np.full_like(v[:1], pk.PAD_SEGMENT)
-                    return np.concatenate(
-                        [v, np.repeat(fill, padn, axis=0)])
-
-                batch = {k: pad(k, v) for k, v in batch.items()}
+            # batches are always batch_seqs sequences (the generator
+            # zero-pads the tail; padded seqs carry image_mask=False, so
+            # they drop out of logits/labels/loss below)
+            batch.pop("n_seqs")
+            batch.pop("n_images")
             logits = np.asarray(fwd(
                 self.state.params,
                 jax.numpy.asarray(batch["tokens"]),

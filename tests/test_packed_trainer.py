@@ -70,3 +70,99 @@ def test_packed_trainer_rejects_bad_dp(tmp_path, fake_varres):
         PackedTrainer(_cfg(tmp_path), seq_len=48, grids=GRIDS,
                       batch_seqs=3, store=fake_varres.store,
                       pretrained=False)
+
+
+class CountingStore:
+    """Store wrapper counting get() calls (I/O accounting for resume)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.gets = 0
+
+    def get(self, key):
+        self.gets += 1
+        return self.inner.get(key)
+
+    def __getattr__(self, name):
+        return getattr(self.inner, name)
+
+
+def test_packed_resume_skips_io_and_matches_prefix(tmp_path, fake_varres):
+    """skip_images resumes BEFORE any fetch/decode: exactly the remaining
+    images are fetched, and the re-packed batches are bit-identical to the
+    uninterrupted run's tail."""
+    from chestxray_vit_tpu.data import packing as pk
+    from chestxray_vit_tpu.data.pipeline import build_datasets
+    from chestxray_vit_tpu.config import DataConfig
+
+    bundle = build_datasets(DataConfig(backend="memory"),
+                            store=fake_varres.store)
+    kw = dict(batch_seqs=2, patch=16, seq_len=48, grids=GRIDS,
+              epoch=0, shuffle=True, seed=42, num_workers=2)
+
+    full = list(pk.iterate_packed_batches(
+        bundle.train, bundle.blob_map, fake_varres.store, **kw))
+    # find the image-prefix cursor after the first two emitted batches
+    skip = int(full[0]["n_images"]) + int(full[1]["n_images"])
+
+    counting = CountingStore(fake_varres.store)
+    tail = list(pk.iterate_packed_batches(
+        bundle.train, bundle.blob_map, counting, **kw))
+    assert counting.gets == len(bundle.train)          # baseline: all fetched
+
+    counting2 = CountingStore(fake_varres.store)
+    resumed = list(pk.iterate_packed_batches(
+        bundle.train, bundle.blob_map, counting2, skip_images=skip, **kw))
+    # no re-fetch of the skipped prefix
+    assert counting2.gets == len(bundle.train) - skip
+    # re-packed stream identical to the uninterrupted run's tail
+    assert len(resumed) == len(tail) - 2
+    for a, b in zip(resumed, tail[2:]):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_packed_trainer_checkpoint_resume(tmp_path):
+    """End-to-end mid-epoch packed resume through the checkpoint cursor."""
+    big = build_fake_nih(num_images=240, image_size=64, seed=3)
+    cfg = _cfg(tmp_path)
+    cfg.train.max_steps = 2
+    cfg.train.save_steps = 2
+    tr1 = PackedTrainer(cfg, seq_len=48, grids=GRIDS, batch_seqs=8,
+                        store=big.store, pretrained=False)
+    tr1.train()
+    tr1.ckpt.wait()
+    assert tr1.ckpt.latest_step() == 2
+    imgs_at_save = tr1._images_emitted
+    assert imgs_at_save > 0
+    tr1.close()
+
+    cfg2 = _cfg(tmp_path)
+    cfg2.train.max_steps = 4
+    cfg2.train.save_steps = 2
+    cfg2.train.resume_from_checkpoint = "auto"
+    counting = CountingStore(big.store)
+    tr2 = PackedTrainer(cfg2, seq_len=48, grids=GRIDS, batch_seqs=8,
+                        store=counting, pretrained=False,
+                        census_sample=4)
+    gets_before = counting.gets          # census + metadata reads
+    tr2.train()
+    assert int(tr2.state.step) == 4
+    # resumed training fetched at most the unskipped remainder (epoch may
+    # roll over; never the full epoch PLUS the skipped prefix again)
+    fetched = counting.gets - gets_before
+    assert fetched <= 2 * len(tr2.bundle.train) - imgs_at_save
+    tr2.close()
+
+
+def test_packed_steps_per_epoch_is_measured(tmp_path):
+    """The census-driven steps/epoch matches the real batch count (exact
+    here: the simulation and packer see the same next-fit rule)."""
+    uniform = build_fake_nih(num_images=240, image_size=64, seed=3)
+    tr = PackedTrainer(_cfg(tmp_path), seq_len=48, grids=GRIDS,
+                       batch_seqs=8, store=uniform.store,
+                       pretrained=False, census_sample=16)
+    real = sum(1 for _ in tr._train_batches(epoch=0))
+    # uniform resolutions -> the census simulation is exact
+    assert tr.steps_per_epoch == real
+    tr.close()
