@@ -9,10 +9,10 @@ torchvision train/val transforms applied via ``with_transform`` (:62-75).
 This adapter maps any HF image-classification dataset with ``image`` +
 ``labels`` columns onto this framework's loader protocol: samples come out
 as the same ``{'pixel_values_u8', 'labels'}`` dicts the native pipeline
-produces, so the Trainer's loops work unchanged. Single-process SPMD means
-the reference's double ``xm.rendezvous('download_only_once')`` barrier
-(ViT-Training.py:35-49) collapses to nothing on one host; on multi-host use
-``jax.experimental.multihost_utils`` around :func:`load_hf_dataset`.
+produces, so the Trainer's loops work unchanged. The reference's double
+``xm.rendezvous('download_only_once')`` barrier (ViT-Training.py:35-49) is
+owned by :func:`load_hf_dataset`: primary downloads, the rest wait, then
+load from the warm cache — a no-op on a single process.
 """
 
 from __future__ import annotations
@@ -140,9 +140,24 @@ def load_hf_dataset(name: str, img_size: int = 384,
                     augment_train: bool = True):
     """``load_dataset`` + split + adapters. Requires network/cache access;
     callers degrade gracefully when unavailable (the native NIH pipeline is
-    the primary path)."""
+    the primary path).
+
+    Multi-host: reproduces the reference's master-gated download barrier
+    (the double ``xm.rendezvous('download_only_once')``,
+    /root/reference/ViT-Training.py:35-49) — the primary process downloads
+    first while the others wait at a barrier, then they load from the
+    now-warm shared cache behind a second barrier."""
     import datasets as hfd
-    ds = hfd.load_dataset(name)
+
+    from chestxray_vit_tpu.parallel import distributed as dist
+
+    if dist.is_primary():
+        ds = hfd.load_dataset(name)
+        dist.barrier("download_only_once")
+    else:
+        dist.barrier("download_only_once")      # wait for the master's pull
+        ds = hfd.load_dataset(name)
+    dist.barrier("download_only_once_done")
     base = ds["train"] if "train" in ds else next(iter(ds.values()))
     classes = class_names_of(base)
     train, val, test = split_hf_dataset(base)

@@ -115,8 +115,13 @@ def embed(params: Params, images: jax.Array, cfg: ModelConfig,
 
 
 def _mha(x: jax.Array, bp: Params, cfg: ModelConfig,
-         attn_impl: str, return_probs: bool = False):
-    """Multi-head attention, pre-LN input already applied."""
+         attn_impl: str, return_probs: bool = False,
+         dropout_rng: Optional[jax.Array] = None, train: bool = False):
+    """Multi-head attention, pre-LN input already applied.
+
+    ``attention_dropout`` (HF ViTSelfAttention semantics: dropout on the
+    softmax probabilities) routes through the unfused path — the reference
+    fine-tune runs it at 0.0, where the flash kernel handles everything."""
     b, s, d = x.shape
     h, hd = cfg.num_heads, cfg.head_dim
 
@@ -128,10 +133,15 @@ def _mha(x: jax.Array, bp: Params, cfg: ModelConfig,
     k = name(heads(_linear(x, bp["wk"])), "attn_heads")
     v = name(heads(_linear(x, bp["wv"])), "attn_heads")
     probs = None
-    if return_probs:
+    attn_drop = (train and cfg.attention_dropout > 0.0
+                 and dropout_rng is not None)
+    if return_probs or attn_drop:
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32) / (hd ** 0.5)
         probs = jax.nn.softmax(scores, axis=-1)
+        if attn_drop:
+            probs = _dropout(probs, cfg.attention_dropout, dropout_rng,
+                             train, 2)
         o = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
     else:
         o = attention(q, k, v, impl=attn_impl)
@@ -145,7 +155,8 @@ def _block(x: jax.Array, bp: Params, cfg: ModelConfig, attn_impl: str,
     x += MHA(LN1(x)); x += MLP(LN2(x)) with erf GELU."""
     eps = cfg.layernorm_eps
     a_in = layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"], eps)
-    attn_out, _ = _mha(a_in, bp, cfg, attn_impl)
+    attn_out, _ = _mha(a_in, bp, cfg, attn_impl,
+                       dropout_rng=dropout_rng, train=train)
     attn_out = _dropout(attn_out, cfg.hidden_dropout, dropout_rng, train, 0)
     x = x + attn_out
     m_in = layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"], eps)

@@ -172,10 +172,23 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
 
 def _pick_block_bh(bh: int, target: int) -> int:
     """Largest divisor of ``bh`` not exceeding ``target``."""
-    b = min(target, bh)
+    b = max(min(target, bh), 1)
     while bh % b:
         b -= 1
     return b
+
+
+# Mosaic's default scoped-VMEM stack limit is 16 MiB; leave headroom.
+_SCOPED_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _vmem_block_bh(requested: int, bh: int, block_q: int, s_pad: int,
+                   f32_tiles: float) -> int:
+    """Clamp the (batch·head) block so the kernel's live f32 score tiles
+    (~``f32_tiles`` of [block_q, S_pad] each per bh) fit the scoped-VMEM
+    stack — the auto path must compile at any (block_q, S) combination."""
+    per_bb = int(block_q * s_pad * 4 * f32_tiles)
+    return _pick_block_bh(bh, min(requested, _SCOPED_VMEM_BUDGET // per_bb))
 
 
 def _pad_mask(seq_len: int, s_pad: int) -> jax.Array:
@@ -190,7 +203,7 @@ def _fwd(q: jax.Array, k: jax.Array, v: jax.Array, seq_len: int,
     bh, q_pad, d = q.shape
     s_pad = k.shape[1]
     n_q = q_pad // block_q
-    bb = _pick_block_bh(bh, block_bh)
+    bb = _vmem_block_bh(block_bh, bh, block_q, s_pad, f32_tiles=2.0)
     grid = (bh // bb, n_q)
     kernel = functools.partial(_fwd_kernel, sm_scale=sm_scale)
     out, lse = pl.pallas_call(
@@ -300,7 +313,7 @@ def _bwd(q, k, v, do, o, lse, sm_scale: float, block_q: int,
     bh, q_pad, d = q.shape
     s_pad = k.shape[1]
     n_q = q_pad // block_q
-    bb = _pick_block_bh(bh, block_bh)
+    bb = _vmem_block_bh(block_bh, bh, block_q, s_pad, f32_tiles=4.0)
     grid = (bh // bb, n_q)
     kernel = functools.partial(_bwd_kernel, sm_scale=sm_scale)
     qspec = pl.BlockSpec((bb, block_q, d), lambda b, i: (b, i, 0),

@@ -57,6 +57,11 @@ class Trainer:
         # NUM_CLASSES is data-derived, like the reference (pyc L174)
         cfg.model.num_classes = len(self.bundle.classes)
 
+        # the reference's bf16 switch (TrainingArguments bf16=True, pyc
+        # L444): off downgrades the compute dtype to f32
+        if not cfg.train.bf16 and cfg.model.dtype == "bfloat16":
+            cfg.model.dtype = "float32"
+
         self.mesh = mesh_lib.build_mesh(cfg.mesh)
         params = None
         if pretrained:

@@ -12,6 +12,7 @@ import pytest
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
+import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 from chestxray_vit_tpu.config import ModelConfig  # noqa: E402
@@ -143,3 +144,49 @@ def test_attention_rollout_path_consistent():
     assert probs.shape == (2, 2, 4, cfg.seq_len, cfg.seq_len)
     # attention rows are probability distributions
     np.testing.assert_allclose(np.asarray(probs.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_attention_dropout_perturbs_training_forward(rng):
+    """ModelConfig.attention_dropout must actually do something: with a
+    rate set and train=True, activations differ from the 0.0 config; with
+    train=False it is inert (HF ViTSelfAttention dropout semantics)."""
+    from chestxray_vit_tpu.config import ModelConfig
+    from chestxray_vit_tpu.models import vit as V
+
+    cfg0 = ModelConfig(img_size=32, patch_size=16, hidden_size=64,
+                       num_layers=2, num_heads=4, mlp_dim=128,
+                       num_classes=5, dtype="float32",
+                       attention_impl="xla")
+    cfg_drop = ModelConfig(**{**cfg0.__dict__, "attention_dropout": 0.5})
+    params = V.init_params(jax.random.key(0), cfg0)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 32, 32, 3)),
+                    jnp.float32)
+    key = jax.random.key(7)
+    base = V.apply(params, x, cfg0, train=True, rng=key)
+    dropped = V.apply(params, x, cfg_drop, train=True, rng=key)
+    assert not np.allclose(np.asarray(base), np.asarray(dropped))
+    # inert at eval time
+    e0 = V.apply(params, x, cfg0, train=False)
+    e1 = V.apply(params, x, cfg_drop, train=False)
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+
+
+def test_train_bf16_knob_downgrades_dtype(tmp_path):
+    """TrainConfig.bf16=False (the reference's TrainingArguments switch)
+    must actually select f32 compute."""
+    from chestxray_vit_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from chestxray_vit_tpu.data.testing import build_fake_nih
+    from chestxray_vit_tpu.train.trainer import Trainer
+
+    fake = build_fake_nih(num_images=30, image_size=64, seed=2)
+    cfg = Config(
+        data=DataConfig(backend="memory"),
+        model=ModelConfig(img_size=64, patch_size=16, hidden_size=64,
+                          num_layers=1, num_heads=4, mlp_dim=64,
+                          attention_impl="xla"),
+        train=TrainConfig(bf16=False, output_dir=str(tmp_path / "o"),
+                          report_to="none"))
+    assert cfg.model.dtype == "bfloat16"
+    tr = Trainer(cfg, store=fake.store, pretrained=False)
+    assert cfg.model.dtype == "float32"
+    tr.close()
