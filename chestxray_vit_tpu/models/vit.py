@@ -221,6 +221,13 @@ def apply(params: Params, images: jax.Array, cfg: ModelConfig, *,
             # residual classes dropped, everything else saved
             policy = jax.checkpoint_policies.save_anything_except_these_names(
                 "flash_residual", "attn_heads", "mlp_hidden")
+        elif cfg.remat_policy == "flash_out":
+            # full remat EXCEPT the flash kernel outputs (~60 MB/layer at
+            # ViT-B b64): backward skips re-running the forward attention
+            # kernel — the costliest recompute in the block — while
+            # everything else stays rematerialized
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "flash_out")
         elif cfg.remat_policy == "dots":
             policy = jax.checkpoint_policies.checkpoint_dots
         else:

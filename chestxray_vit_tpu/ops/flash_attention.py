@@ -178,17 +178,20 @@ def _pick_block_bh(bh: int, target: int) -> int:
     return b
 
 
-# Mosaic's default scoped-VMEM stack limit is 16 MiB; leave headroom.
-_SCOPED_VMEM_BUDGET = 14 * 1024 * 1024
+# Mosaic's default scoped-VMEM stack limit is 16 MiB; leave a sliver.
+_SCOPED_VMEM_BUDGET = 15.5 * 1024 * 1024
 
 
 def _vmem_block_bh(requested: int, bh: int, block_q: int, s_pad: int,
-                   f32_tiles: float) -> int:
-    """Clamp the (batch·head) block so the kernel's live f32 score tiles
-    (~``f32_tiles`` of [block_q, S_pad] each per bh) fit the scoped-VMEM
-    stack — the auto path must compile at any (block_q, S) combination."""
-    per_bb = int(block_q * s_pad * 4 * f32_tiles)
-    return _pick_block_bh(bh, min(requested, _SCOPED_VMEM_BUDGET // per_bb))
+                   d: int, t_scores: float, t_kv: float) -> int:
+    """Clamp the (batch·head) block so the kernel's live VMEM fits the
+    scoped stack: ``t_scores`` f32 [block_q, S_pad] score-tile equivalents
+    plus ``t_kv`` f32 [S_pad, d] operand/accumulator equivalents per bh.
+    Coefficients fitted to Mosaic's reported scoped allocations — the auto
+    path must compile at any (block_q, S) combination."""
+    per_bb = (block_q * s_pad * 4 * t_scores + s_pad * d * 4 * t_kv)
+    return _pick_block_bh(bh,
+                          min(requested, int(_SCOPED_VMEM_BUDGET / per_bb)))
 
 
 def _pad_mask(seq_len: int, s_pad: int) -> jax.Array:
@@ -203,7 +206,8 @@ def _fwd(q: jax.Array, k: jax.Array, v: jax.Array, seq_len: int,
     bh, q_pad, d = q.shape
     s_pad = k.shape[1]
     n_q = q_pad // block_q
-    bb = _vmem_block_bh(block_bh, bh, block_q, s_pad, f32_tiles=2.0)
+    bb = _vmem_block_bh(block_bh, bh, block_q, s_pad, d,
+                        t_scores=2.1, t_kv=2.0)
     grid = (bh // bb, n_q)
     kernel = functools.partial(_fwd_kernel, sm_scale=sm_scale)
     out, lse = pl.pallas_call(
@@ -247,7 +251,8 @@ def _fwd(q: jax.Array, k: jax.Array, v: jax.Array, seq_len: int,
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
-                dq_ref, dk_ref, dv_ref, *, sm_scale: float):
+                dq_ref, dk_ref, dv_ref, *, sm_scale: float,
+                accumulate: bool):
     qi = pl.program_id(1)
 
     q = q_ref[...]                                 # [bb, bq, d]
@@ -290,22 +295,32 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
                     axis=-1, keepdims=True)        # [bb, bq, 1]
     ds_lo = (p_lo * (dp - delta).astype(q.dtype))  # unscaled dS, one pass
 
-    dq_ref[...] = jax.lax.dot_general(
+    # the softmax scale rides the small [bq/S, d] outputs, never the
+    # S²-sized dS tile
+    dq_ref[...] = (jax.lax.dot_general(
         ds_lo, k, (((2,), (1,)), bdims),
-        preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+        preferred_element_type=jnp.float32) * sm_scale).astype(dq_ref.dtype)
     dk_part = jax.lax.dot_general(
         ds_lo, q, (((1,), (1,)), bdims),
         preferred_element_type=jnp.float32,
-    )                                              # [bb, S_pad, d]
+    ) * sm_scale                                   # [bb, S_pad, d]
 
-    # Sequential accumulation over Q blocks into the revisited dK/dV block.
-    @pl.when(qi == 0)
-    def _():
-        dk_ref[...] = jnp.zeros_like(dk_ref[...])
-        dv_ref[...] = jnp.zeros_like(dv_ref[...])
+    if accumulate:
+        # Sequential accumulation over Q blocks into the revisited block
+        # (f32 accumulators; caller downcasts once at the end).
+        @pl.when(qi == 0)
+        def _():
+            dk_ref[...] = jnp.zeros_like(dk_ref[...])
+            dv_ref[...] = jnp.zeros_like(dv_ref[...])
 
-    dk_ref[...] += dk_part.astype(dk_ref.dtype)
-    dv_ref[...] += dv_part.astype(dv_ref.dtype)
+        dk_ref[...] += dk_part.astype(dk_ref.dtype)
+        dv_ref[...] += dv_part.astype(dv_ref.dtype)
+    else:
+        # single Q block (the ViT full-sequence path): store once, directly
+        # in the output dtype — halves the dK/dV HBM write traffic and
+        # removes the caller-side scale+cast pass entirely
+        dk_ref[...] = dk_part.astype(dk_ref.dtype)
+        dv_ref[...] = dv_part.astype(dv_ref.dtype)
 
 
 def _bwd(q, k, v, do, o, lse, sm_scale: float, block_q: int,
@@ -313,13 +328,19 @@ def _bwd(q, k, v, do, o, lse, sm_scale: float, block_q: int,
     bh, q_pad, d = q.shape
     s_pad = k.shape[1]
     n_q = q_pad // block_q
-    bb = _vmem_block_bh(block_bh, bh, block_q, s_pad, f32_tiles=4.0)
+    accumulate = n_q > 1
+    bb = _vmem_block_bh(block_bh, bh, block_q, s_pad, d,
+                        t_scores=4.0, t_kv=9.3 if accumulate else 7.0)
     grid = (bh // bb, n_q)
-    kernel = functools.partial(_bwd_kernel, sm_scale=sm_scale)
+    kernel = functools.partial(_bwd_kernel, sm_scale=sm_scale,
+                               accumulate=accumulate)
     qspec = pl.BlockSpec((bb, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM)
     kvspec = pl.BlockSpec((bb, s_pad, d), lambda b, i: (b, 0, 0),
                           memory_space=pltpu.VMEM)
+    # multi-block grids need f32 dK/dV accumulators; the single-block path
+    # (ViT full-sequence) writes the output dtype directly
+    acc_dtype = jnp.float32 if accumulate else q.dtype
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=grid,
@@ -329,9 +350,8 @@ def _bwd(q, k, v, do, o, lse, sm_scale: float, block_q: int,
         out_specs=[qspec, kvspec, kvspec],
         out_shape=[
             jax.ShapeDtypeStruct((bh, q_pad, d), q.dtype),
-            # f32 accumulators for dK/dV regardless of input dtype
-            jax.ShapeDtypeStruct((bh, s_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, s_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, s_pad, d), acc_dtype),
+            jax.ShapeDtypeStruct((bh, s_pad, d), acc_dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -343,11 +363,7 @@ def _bwd(q, k, v, do, o, lse, sm_scale: float, block_q: int,
         ),
         interpret=_interpret(),
     )(q, k, v, do, o, lse)
-    # the softmax scale rides the small [BH, S, d] outputs (fused into the
-    # caller's unpad slice by XLA), not the kernel's S²-sized dS tile
-    return (dq * sm_scale if sm_scale != 1.0 else dq,
-            (dk * sm_scale).astype(q.dtype),
-            dv.astype(q.dtype))
+    return dq, dk.astype(q.dtype), dv.astype(q.dtype)
 
 
 def _seg_spec(s_pad: int):
@@ -532,10 +548,16 @@ def _flash_fwd_rule(q, k, v, sm_scale, block_q, block_bh=DEFAULT_BLOCK_BH):
     kp, vp = _prep(k, k_pad), _prep(v, k_pad)
     out, lse = _fwd(qp, kp, vp, s, scale, bq, block_bh)
     o = out[:, :s, :].reshape(b, h, s, d)
-    # named so selective remat policies ('attn') can choose to recompute
-    # these residuals instead of holding them in HBM
-    res = tuple(checkpoint_name(x, "flash_residual")
-                for x in (qp, kp, vp, out, lse))
+    # named so selective remat policies can choose what to keep:
+    # - 'flash_residual' (qp/kp/vp): cheap to recompute (three matmuls)
+    # - 'flash_out' (out/lse): saving these lets the backward skip the
+    #   whole forward kernel re-run under remat — ~60 MB/layer for the
+    #   most expensive recompute in the block (the 'flash_out' policy)
+    res = (checkpoint_name(qp, "flash_residual"),
+           checkpoint_name(kp, "flash_residual"),
+           checkpoint_name(vp, "flash_residual"),
+           checkpoint_name(out, "flash_out"),
+           checkpoint_name(lse, "flash_out"))
     return o, (*res, (b, h, s, d))
 
 

@@ -72,3 +72,31 @@ def test_bf16_input_keeps_dtype(rng):
     b = jnp.zeros(8, jnp.float32)
     y = layer_norm(x, s, b, 1e-12)
     assert y.dtype == jnp.bfloat16
+
+
+def test_pallas_ln_kernels_match_xla_reference(rng):
+    """The fused Pallas forward/backward (interpret mode here; compiled on
+    TPU) must match the XLA reference implementation including the padded
+    row-block tail and the accumulated param grads."""
+    import jax.numpy as jnp
+    from chestxray_vit_tpu.ops import layer_norm as L
+
+    x = jnp.asarray(rng.standard_normal((3, 37, 256)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal((256,)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((256,)), jnp.float32)
+    dy = jnp.asarray(rng.standard_normal((3, 37, 256)), jnp.float32)
+    eps = 1e-12
+
+    y_p = L._forward_pallas(x, scale, bias, eps)
+    y_x = L._forward_xla(x, scale, bias, eps)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                               atol=1e-5, rtol=1e-5)
+
+    dx_p, ds_p, db_p = L._bwd_pallas(eps, x, scale, dy)
+    dx_x, ds_x, db_x = L._bwd_xla(eps, x, scale, dy)
+    np.testing.assert_allclose(np.asarray(dx_p), np.asarray(dx_x),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ds_p), np.asarray(ds_x),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(db_p), np.asarray(db_x),
+                               atol=1e-4, rtol=1e-4)
