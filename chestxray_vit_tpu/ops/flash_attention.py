@@ -286,17 +286,16 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         p_lo, do, (((1,), (1,)), bdims),
         preferred_element_type=jnp.float32,
     )                                              # [bb, S_pad, d]
-    # dP = dO Vᵀ ; delta = rowsum(dO ∘ O). On the bf16 training path dP
-    # comes out of the MXU in bf16 (f32 accumulate, one rounding) so the
-    # whole dS chain is a single bf16 pass at 2x lane throughput.
-    dp_dtype = jnp.bfloat16 if q.dtype == jnp.bfloat16 else jnp.float32
+    # dP = dO Vᵀ ; delta = rowsum(dO ∘ O). (Mosaic requires 32-bit matmul
+    # accumulators, so dP stays f32; the dS chain is one fused
+    # subtract+cast+multiply pass.)
     dp = jax.lax.dot_general(
         do, v, (((2,), (2,)), bdims),
-        preferred_element_type=dp_dtype,
-    )                                              # [bb, bq, S_pad]
+        preferred_element_type=jnp.float32,
+    )                                              # [bb, bq, S_pad] f32
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1, keepdims=True)        # [bb, bq, 1]
-    ds_lo = (p_lo * (dp - delta.astype(dp_dtype)).astype(q.dtype))
+    ds_lo = (p_lo * (dp - delta).astype(q.dtype))  # unscaled dS, one pass
 
     # the softmax scale rides the small [bq/S, d] outputs, never the
     # S²-sized dS tile
