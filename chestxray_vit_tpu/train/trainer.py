@@ -186,10 +186,10 @@ class Trainer:
                 depth=self.cfg.data.prefetch_depth)
             batch_idx = skip
             step_at_epoch_start = step
-            # Shallow async pipelining: let up to 8 steps be in flight, then
-            # sync on a scalar fetch — deep queues are pathological on
+            # Shallow async pipelining: let up to 16 steps be in flight,
+            # then sync on a scalar fetch — deep queues are pathological on
             # tunneled platforms and unbounded ones hide errors (BENCH_NOTES).
-            sync_every = max(1, min(8, cfg.logging_steps or 8))
+            sync_every = max(1, min(16, cfg.logging_steps or 16))
             unmetered_steps = 0
             for batch in prefetch:
                 self.profiler.maybe_start(step)
