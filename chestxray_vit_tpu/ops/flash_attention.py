@@ -12,14 +12,21 @@ Design notes (ViT sequence lengths are short — 577 @384, 1025 @512):
   = 288 KB), so the kernel blocks over Q only and computes an *exact*
   softmax per Q block — no online-softmax rescaling passes needed. This is
   the blocked/windowed variant that BASELINE.json configs[4] calls for.
-- Sequence lengths are padded to a multiple of the 128-lane Q block; padded
-  key columns are masked to -inf before the softmax (non-power-of-two token
-  counts, SURVEY.md §7 hard part 2).
-- All math is f32 on the MXU regardless of input dtype (bf16 in / bf16 out).
-- The backward kernel recomputes the probability matrix from the saved
-  logsumexp and accumulates dK/dV across sequential Q-block grid steps in
-  VMEM (grid iteration over Q blocks is 'arbitrary', i.e. sequential, so
-  read-modify-write on the revisited output block is safe).
+- Non-power-of-two token counts (SURVEY.md §7 hard part 2) are handled by
+  zero-padding algebra, not masking passes: K/V pad to the 128-lane score
+  dim with zeros (pad scores = 0 stay under the running max and a masked
+  ones-column normalizer on the MXU excludes them exactly); Q pads only to
+  the sublane tile (577 → 592, not 640).
+- The softmax is VPU-lean — three full passes over the score tile: max,
+  fused (s−m)·scale·log2e → exp2 (bf16 lanes on the training path), and
+  the MXU normalizer contraction. Scores/accumulation stay f32 on the MXU.
+- The backward kernel recomputes P from the saved logsumexp via the same
+  fused exp2; with one Q block per sequence (the ViT path) dK/dV are
+  stored once in the output dtype with the softmax scale folded onto the
+  small output tiles; multi-block grids fall back to sequential f32
+  accumulation over the revisited block ('arbitrary' grid order).
+- Grid steps cover block_bh (batch·head) pairs at once, auto-clamped by a
+  fitted scoped-VMEM model so every (block_q, S) combination compiles.
 """
 
 from __future__ import annotations
@@ -33,6 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_BH = 8
 _NEG_INF = -1e30
 
 
@@ -49,72 +57,93 @@ def _pad_len(s: int, block: int) -> int:
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _segment_mask(seg_ref, qi, block_q: int):
-    """Segment-id ref [1, 1, S_pad] → [bq, S_pad] same-segment mask for Q
-    block ``qi``. The dynamic Q-window slice happens on the ref (``pl.ds``),
-    which Mosaic lowers natively; value-level dynamic_slice does not.
-    (Segment ids ride a [BH, 1, S_pad] layout — TPU block shapes need the
-    trailing dims (sublane, lane)-aligned, which (1, S_pad) satisfies.)"""
-    seg_row = seg_ref[0]                            # [1, S_pad]
-    sq = seg_ref[0, 0, pl.ds(qi * block_q, block_q)]  # [bq]
-    return sq[:, None] == seg_row                   # [bq, S_pad]
+def _segment_bias(seg_ref, qi, block_q: int):
+    """Segment-id ref [bb, 1, S_pad] → [bb, bq, S_pad] additive bias for Q
+    block ``qi``: 0 within a segment, -1e6 across. The bias rides the exp2
+    argument, where c·(-1e6) underflows exp2 to EXACTLY zero — no separate
+    -inf masking pass, and cross-segment/pad terms vanish from both the
+    MXU normalizer and the gradients. The dynamic Q-window slice happens on
+    the ref (``pl.ds``), which Mosaic lowers natively."""
+    seg_row = seg_ref[...]                            # [bb, 1, S_pad]
+    sq = seg_ref[:, 0, pl.ds(qi * block_q, block_q)]  # [bb, bq]
+    neq = sq[:, :, None] != seg_row                   # [bb, bq, S_pad]
+    return jnp.where(neq, -1e6, 0.0)
 
 
-def _fwd_kernel_seg(q_ref, k_ref, v_ref, seg_ref, o_ref, lse_ref, *,
-                    sm_scale: float, block_q: int):
+def _fwd_kernel_seg(q_ref, k_ref, v_ref, seg_ref, ones_ref, o_ref, lse_ref,
+                    *, sm_scale: float, block_q: int):
     """Segment-masked forward: attention only within equal segment ids
-    (block-diagonal attention for NaViT-style packed batching)."""
+    (block-diagonal attention for NaViT-style packed batching). Same
+    VPU-lean scheme as the dense kernel: fused mask-bias into the score
+    pass, max, fused exp2 (bf16 on the training path), MXU normalizer."""
     qi = pl.program_id(1)
-    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    q, k, v = q_ref[...], k_ref[...], v_ref[...]
+    bdims = ((0,), (0,))
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale
-    mask = _segment_mask(seg_ref, qi, block_q)
-    s = jnp.where(mask, s, _NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32) / l
-    o_ref[0] = o.astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l)).astype(jnp.float32)
+        q, k, (((2,), (2,)), bdims),
+        preferred_element_type=jnp.float32)           # [bb, bq, S] UNscaled
+    s = s + _segment_bias(seg_ref, qi, block_q)
+    m = jnp.max(s, axis=-1, keepdims=True)            # ≥ self-attn score
+    c = sm_scale * _LOG2E
+    arg = (s - m) * c                                 # cross terms ≤ -1e5·c
+    if q.dtype == jnp.bfloat16:
+        p = jnp.exp2(arg.astype(jnp.bfloat16))        # underflow → exact 0
+    else:
+        p = jnp.exp2(arg)
+    l = jax.lax.dot_general(
+        p, ones_ref[...].astype(p.dtype), (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [bb, bq, 1]
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), bdims),
+        preferred_element_type=jnp.float32) / l
+    o_ref[...] = o.astype(o_ref.dtype)
+    lse_ref[...] = (m * sm_scale + jnp.log(l)).astype(jnp.float32)
 
 
 def _bwd_kernel_seg(q_ref, k_ref, v_ref, seg_ref, do_ref, o_ref,
                     lse_ref, dq_ref, dk_ref, dv_ref, *, sm_scale: float,
-                    block_q: int):
+                    block_q: int, accumulate: bool):
     qi = pl.program_id(1)
-    q, k, v = q_ref[0], k_ref[0], v_ref[0]
-    do, o, lse = do_ref[0], o_ref[0], lse_ref[0]
+    q, k, v = q_ref[...], k_ref[...], v_ref[...]
+    do, o, lse = do_ref[...], o_ref[...], lse_ref[...]
+    bdims = ((0,), (0,))
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale
-    mask = _segment_mask(seg_ref, qi, block_q)
-    s = jnp.where(mask, s, _NEG_INF)
-    p = jnp.exp(s - lse)
-    p_lo = p.astype(v.dtype)
+        q, k, (((2,), (2,)), bdims),
+        preferred_element_type=jnp.float32)           # UNscaled
+    s = s + _segment_bias(seg_ref, qi, block_q)
+    c = sm_scale * _LOG2E
+    arg = s * c - lse * _LOG2E
+    if q.dtype == jnp.bfloat16:
+        p_lo = jnp.exp2(arg.astype(jnp.bfloat16))
+    else:
+        p_lo = jnp.exp2(arg).astype(q.dtype)
     dv_part = jax.lax.dot_general(
-        p_lo, do, (((0,), (0,)), ((), ())),
+        p_lo, do, (((1,), (1,)), bdims),
         preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())),
+        do, v, (((2,), (2,)), bdims),
         preferred_element_type=jnp.float32)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1, keepdims=True)
-    ds = (p * (dp - delta) * sm_scale)
-    ds_lo = ds.astype(q.dtype)
-    dq_ref[0] = jnp.dot(ds_lo, k, preferred_element_type=jnp.float32
-                        ).astype(dq_ref.dtype)
+    ds_lo = (p_lo * (dp - delta).astype(q.dtype))
+    dq_ref[...] = (jax.lax.dot_general(
+        ds_lo, k, (((2,), (1,)), bdims),
+        preferred_element_type=jnp.float32) * sm_scale).astype(dq_ref.dtype)
     dk_part = jax.lax.dot_general(
-        ds_lo, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        ds_lo, q, (((1,), (1,)), bdims),
+        preferred_element_type=jnp.float32) * sm_scale
 
-    @pl.when(qi == 0)
-    def _():
-        dk_ref[0] = jnp.zeros_like(dk_ref[0])
-        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+    if accumulate:
+        @pl.when(qi == 0)
+        def _():
+            dk_ref[...] = jnp.zeros_like(dk_ref[...])
+            dv_ref[...] = jnp.zeros_like(dv_ref[...])
 
-    dk_ref[0] += dk_part.astype(dk_ref.dtype)
-    dv_ref[0] += dv_part.astype(dv_ref.dtype)
+        dk_ref[...] += dk_part.astype(dk_ref.dtype)
+        dv_ref[...] += dv_part.astype(dv_ref.dtype)
+    else:
+        dk_ref[...] = dk_part.astype(dk_ref.dtype)
+        dv_ref[...] = dv_part.astype(dv_ref.dtype)
 
 
 _LOG2E = 1.4426950408889634
@@ -368,57 +397,69 @@ def _bwd(q, k, v, do, o, lse, sm_scale: float, block_q: int,
     return dq, dk.astype(q.dtype), dv.astype(q.dtype)
 
 
-def _seg_spec(s_pad: int):
+def _seg_spec(bb: int, s_pad: int):
     # segment ids ride [BH, 1, S_pad]: trailing (1, S_pad) satisfies the
     # TPU (sublane, lane) block constraints with a full-row block
-    return pl.BlockSpec((1, 1, s_pad), lambda b, i: (b, 0, 0),
+    return pl.BlockSpec((bb, 1, s_pad), lambda b, i: (b, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _fwd_seg(q, k, v, seg, sm_scale: float, block_q: int):
+def _fwd_seg(q, k, v, seg, sm_scale: float, block_q: int,
+             block_bh: int = DEFAULT_BLOCK_BH):
     bh, s_pad, d = q.shape
-    grid = (bh, s_pad // block_q)
+    bb = _vmem_block_bh(block_bh, bh, block_q, s_pad, d,
+                        t_scores=3.1, t_kv=2.0)
+    grid = (bh // bb, s_pad // block_q)
     kernel = functools.partial(_fwd_kernel_seg, sm_scale=sm_scale,
                                block_q=block_q)
-    qspec = pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+    qspec = pl.BlockSpec((bb, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM)
-    kvspec = pl.BlockSpec((1, s_pad, d), lambda b, i: (b, 0, 0),
+    kvspec = pl.BlockSpec((bb, s_pad, d), lambda b, i: (b, 0, 0),
                           memory_space=pltpu.VMEM)
+    ones = jnp.ones((s_pad, 1), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[qspec, kvspec, kvspec, _seg_spec(s_pad)],
+        in_specs=[qspec, kvspec, kvspec, _seg_spec(bb, s_pad),
+                  pl.BlockSpec((s_pad, 1), lambda b, i: (0, 0),
+                               memory_space=pltpu.VMEM)],
         out_specs=[qspec,
-                   pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
+                   pl.BlockSpec((bb, block_q, 1), lambda b, i: (b, i, 0),
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
                    jax.ShapeDtypeStruct((bh, s_pad, 1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=_interpret(),
-    )(q, k, v, seg)
+    )(q, k, v, seg, ones)
 
 
-def _bwd_seg(q, k, v, seg, do, o, lse, sm_scale: float, block_q: int):
+def _bwd_seg(q, k, v, seg, do, o, lse, sm_scale: float, block_q: int,
+             block_bh: int = DEFAULT_BLOCK_BH):
     bh, s_pad, d = q.shape
-    grid = (bh, s_pad // block_q)
+    n_q = s_pad // block_q
+    accumulate = n_q > 1
+    bb = _vmem_block_bh(block_bh, bh, block_q, s_pad, d,
+                        t_scores=5.0, t_kv=9.3 if accumulate else 7.0)
+    grid = (bh // bb, n_q)
     kernel = functools.partial(_bwd_kernel_seg, sm_scale=sm_scale,
-                               block_q=block_q)
-    qspec = pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0),
+                               block_q=block_q, accumulate=accumulate)
+    qspec = pl.BlockSpec((bb, block_q, d), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM)
-    kvspec = pl.BlockSpec((1, s_pad, d), lambda b, i: (b, 0, 0),
+    kvspec = pl.BlockSpec((bb, s_pad, d), lambda b, i: (b, 0, 0),
                           memory_space=pltpu.VMEM)
-    lspec = pl.BlockSpec((1, block_q, 1), lambda b, i: (b, i, 0),
+    lspec = pl.BlockSpec((bb, block_q, 1), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM)
+    acc_dtype = jnp.float32 if accumulate else q.dtype
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[qspec, kvspec, kvspec, _seg_spec(s_pad), qspec, qspec,
+        in_specs=[qspec, kvspec, kvspec, _seg_spec(bb, s_pad), qspec, qspec,
                   lspec],
         out_specs=[qspec, kvspec, kvspec],
         out_shape=[jax.ShapeDtypeStruct((bh, s_pad, d), q.dtype),
-                   jax.ShapeDtypeStruct((bh, s_pad, d), jnp.float32),
-                   jax.ShapeDtypeStruct((bh, s_pad, d), jnp.float32)],
+                   jax.ShapeDtypeStruct((bh, s_pad, d), acc_dtype),
+                   jax.ShapeDtypeStruct((bh, s_pad, d), acc_dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=_interpret(),
@@ -495,9 +536,6 @@ def attention_xla_packed(q, k, v, segment_ids, sm_scale=None):
 # ---------------------------------------------------------------------------
 # Public API with custom VJP
 # ---------------------------------------------------------------------------
-
-DEFAULT_BLOCK_BH = 8
-
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
