@@ -144,6 +144,10 @@ class ModelConfig:
     mlp_dim: int = 3072
     num_classes: int = 15           # NUM_CLASSES (pyc L174): 14 + No Finding
     layernorm_eps: float = 1e-12    # HF ViTConfig default
+    # HF ViT uses EXACT erf GELU; the tanh approximation is ~13 ms/step
+    # cheaper on v5e (erf's f32 polynomial is pure VPU cost) at ~1e-3
+    # activation error — opt-in for from-scratch training, OFF for parity.
+    gelu_approximate: bool = False
     hidden_dropout: float = 0.0
     attention_dropout: float = 0.0
     # Representation/activations dtype under training (XLA_USE_BF16=1 in the

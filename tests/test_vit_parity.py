@@ -190,3 +190,22 @@ def test_train_bf16_knob_downgrades_dtype(tmp_path):
     tr = Trainer(cfg, store=fake.store, pretrained=False)
     assert cfg.model.dtype == "float32"
     tr.close()
+
+
+def test_gelu_approximate_knob(rng):
+    """gelu_approximate=True switches to tanh GELU (perf knob); default
+    False keeps HF's exact erf (the parity tests above pin it)."""
+    from chestxray_vit_tpu.config import ModelConfig
+    from chestxray_vit_tpu.models import vit as V
+
+    base = ModelConfig(img_size=32, patch_size=16, hidden_size=64,
+                       num_layers=2, num_heads=4, mlp_dim=128,
+                       num_classes=5, dtype="float32", attention_impl="xla")
+    fast = ModelConfig(**{**base.__dict__, "gelu_approximate": True})
+    params = V.init_params(jax.random.key(1), base)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 32, 32, 3)),
+                    jnp.float32)
+    exact = np.asarray(V.apply(params, x, base))
+    approx = np.asarray(V.apply(params, x, fast))
+    assert not np.array_equal(exact, approx)
+    np.testing.assert_allclose(exact, approx, atol=0.15)  # close, not equal
