@@ -225,6 +225,10 @@ class TrainConfig:
     greater_is_better: bool = True
 
     bf16: bool = True                       # (pyc L444; .py:105)
+    # Preemption safety (beyond the reference, whose dead worker kills the
+    # job, SURVEY §5): SIGTERM/SIGINT triggers one final checkpoint before
+    # a clean exit, so `resume_from_checkpoint=auto` continues exactly.
+    save_on_preemption: bool = True
     seed: int = 42
     output_dir: str = "./outputs"
     report_to: str = "tensorboard"          # B (pyc L453); A: 'none'

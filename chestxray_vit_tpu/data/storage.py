@@ -99,6 +99,49 @@ class GCSStore:
         return self._bucket.blob(name).exists()
 
 
+class RetryingStore:
+    """Bounded retry with exponential backoff around a network-backed store.
+
+    The reference degrades a failed fetch straight to a black dummy image
+    (pyc L281-L286) — one transient GCS blip silently corrupts a training
+    sample. Retrying first keeps that fault-tolerance as the LAST resort
+    instead of the first response. Deterministic backoff (no rng) keeps
+    multi-process behavior reproducible.
+    """
+
+    def __init__(self, inner: Store, retries: int = 3,
+                 base_delay: float = 0.2):
+        self.inner = inner
+        self.retries = retries
+        self.base_delay = base_delay
+
+    def _retry(self, fn, *args):
+        import time as _time
+        for attempt in range(self.retries + 1):
+            try:
+                return fn(*args)
+            except KeyError:
+                raise                      # missing blob is not transient
+            except FileNotFoundError:
+                raise
+            except Exception as e:                       # noqa: BLE001
+                if attempt == self.retries:
+                    raise
+                delay = self.base_delay * (2 ** attempt)
+                print(f"[storage] {fn.__name__} failed ({e}); "
+                      f"retry {attempt + 1}/{self.retries} in {delay:.1f}s")
+                _time.sleep(delay)
+
+    def get(self, name: str) -> bytes:
+        return self._retry(self.inner.get, name)
+
+    def list(self, prefix: str) -> List[str]:
+        return self._retry(self.inner.list, prefix)
+
+    def exists(self, name: str) -> bool:
+        return self._retry(self.inner.exists, name)
+
+
 def open_store(cfg: DataConfig, memory_store: Optional[MemoryStore] = None
                ) -> Store:
     if cfg.backend == "memory":
@@ -108,7 +151,8 @@ def open_store(cfg: DataConfig, memory_store: Optional[MemoryStore] = None
     if cfg.backend == "local":
         return LocalStore(cfg.local_root or ".")
     if cfg.backend == "gcs":
-        return GCSStore(cfg.gcs_bucket_name, cfg.gcp_project_id or None)
+        return RetryingStore(
+            GCSStore(cfg.gcs_bucket_name, cfg.gcp_project_id or None))
     raise ValueError(f"unknown storage backend {cfg.backend!r}")
 
 

@@ -159,8 +159,42 @@ class Trainer:
     # train
     # ------------------------------------------------------------------
 
+    def request_stop(self) -> None:
+        """Ask the train loop to checkpoint and exit after the current step
+        (called by the SIGTERM/SIGINT handler on preemption; safe to call
+        from any thread)."""
+        self._stop_requested = True
+
+    def _install_preemption_handler(self):
+        """SIGTERM/SIGINT → one final checkpoint, clean exit (only from the
+        main thread; returns a restore callback)."""
+        import signal
+        import threading
+        if (not self.cfg.train.save_on_preemption
+                or threading.current_thread() is not threading.main_thread()):
+            return lambda: None
+        previous = {}
+
+        def on_signal(signum, frame):
+            print(f"[trainer] signal {signum}: checkpointing before exit")
+            self.request_stop()
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                previous[sig] = signal.signal(sig, on_signal)
+            except (ValueError, OSError):              # non-main ctx, etc.
+                pass
+
+        def restore():
+            for sig, handler in previous.items():
+                signal.signal(sig, handler)
+
+        return restore
+
     def train(self) -> Dict[str, float]:
         cfg = self.cfg.train
+        self._stop_requested = False
+        restore_handlers = self._install_preemption_handler()
         cursor = ckpt.DataCursor()
         if cfg.resume_from_checkpoint:
             step = (None if cfg.resume_from_checkpoint == "auto"
@@ -224,6 +258,14 @@ class Trainer:
                 if step >= self.total_steps:
                     done = True
                     break
+                if self._stop_requested:
+                    # preemption: persist the exact cursor so
+                    # resume_from_checkpoint=auto continues mid-epoch
+                    self._save(step, epoch, batch_idx)
+                    print(f"[trainer] stop requested: checkpointed at step "
+                          f"{step} (epoch {epoch}, batch {batch_idx})")
+                    done = True
+                    break
             else:
                 if step == step_at_epoch_start and skip == 0:
                     raise ValueError(
@@ -241,6 +283,7 @@ class Trainer:
 
         self.profiler.stop_if_active()
         self.ckpt.wait()
+        restore_handlers()
 
         if cfg.load_best_model_at_end and self.ckpt.all_steps():
             best = self.ckpt.best_step() or self.ckpt.latest_step()
