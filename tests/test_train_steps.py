@@ -103,7 +103,8 @@ def test_eval_step_sharded(rng):
 
 
 def test_fsdp_mesh_sharding(rng):
-    """fsdp axis shards the big scanned kernels; step still runs."""
+    """fsdp axis shards the big scanned kernels (ZeRO-3 via shardings);
+    the step matches single-device numerics, not just runs."""
     cfg = tiny_config()
     mesh = mesh_lib.build_mesh(MeshConfig(data=2, fsdp=4, tensor=1))
     params = vit.init_params(jax.random.key(0), cfg.model)
@@ -111,12 +112,19 @@ def test_fsdp_mesh_sharding(rng):
     mlp_sh = sh["blocks"]["mlp_in"]["kernel"]
     assert "fsdp" in str(mlp_sh.spec)
     state = S.TrainState.create(params, seed=0)
+    batch = make_batch(rng, 16, cfg)
+    ref_state, ref_m = jax.jit(S.make_train_step(cfg, 10))(
+        jax.tree.map(lambda x: x, state), batch)
+
     step = S.jit_train_step(S.make_train_step(cfg, total_steps=10),
                             mesh, state)
     st = S.place_state(state, mesh)
-    batch = mesh_lib.shard_batch(mesh, make_batch(rng, 16, cfg))
-    new_state, m = step(st, batch)
-    assert np.isfinite(float(m["loss"]))
+    new_state, m = step(st, mesh_lib.shard_batch(mesh, batch))
+    np.testing.assert_allclose(float(m["loss"]), float(ref_m["loss"]),
+                               atol=1e-5)
+    for a, b in zip(jax.tree.leaves(new_state.params),
+                    jax.tree.leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
 def test_tensor_parallel_mesh(rng):
