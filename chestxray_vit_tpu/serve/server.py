@@ -4,9 +4,9 @@ POST /predict          body: raw PNG/JPEG bytes → JSON findings
 POST /predict?maps=1   → findings + attention-rollout map (grid floats)
 GET  /healthz          → {"status": "ok"}
 
-Stdlib-only (ThreadingHTTPServer); the model forward is single-threaded
-behind a lock — batching across connections happens by the micro-batch
-padding inside Predictor. Start with:
+Stdlib-only (ThreadingHTTPServer). Concurrent requests coalesce into
+shared device forwards through :class:`serve.batcher.MicroBatcher` — N
+simultaneous clients cost ~N/batch_size dispatches, not N. Start with:
 
     python -m chestxray_vit_tpu.serve.server --model-dir outputs/model
 """
@@ -20,14 +20,16 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
 
+from chestxray_vit_tpu.serve.batcher import MicroBatcher
 from chestxray_vit_tpu.serve.inference import Predictor
 
 # NIH natives are 1024² PNGs (< 1 MB); anything past this is not an X-ray
 MAX_BODY_BYTES = 32 * 1024 * 1024
 
 
-def make_handler(predictor: Predictor, max_body: int = MAX_BODY_BYTES):
-    lock = threading.Lock()
+def make_handler(predictor: Predictor, max_body: int = MAX_BODY_BYTES,
+                 batcher: Optional[MicroBatcher] = None):
+    batcher = batcher or MicroBatcher(predictor)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
@@ -73,17 +75,15 @@ def make_handler(predictor: Predictor, max_body: int = MAX_BODY_BYTES):
             query = parse_qs(url.query)
             with_maps = query.get("maps", ["0"])[-1] == "1"
             try:
-                with lock:
-                    out = predictor.predict_bytes([data],
-                                                  with_maps=with_maps)
+                res = batcher.predict(data, with_maps=with_maps)
             except Exception as e:                     # noqa: BLE001
                 return self._json(500, {"error": str(e)})
             payload = {
-                "findings": predictor.top_findings(out.probs[0],
-                                                   k=len(out.probs[0])),
+                "findings": predictor.top_findings(res.probs,
+                                                   k=len(res.probs)),
             }
-            if with_maps and out.maps is not None:
-                payload["attention_map"] = out.maps[0].tolist()
+            if with_maps and res.attn_map is not None:
+                payload["attention_map"] = res.attn_map.tolist()
             return self._json(200, payload)
 
     return Handler

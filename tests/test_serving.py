@@ -220,3 +220,69 @@ def test_http_server_end_to_end(rng):
         assert "attention_map" not in out
     finally:
         server.shutdown()
+
+
+def test_microbatcher_coalesces_and_matches(rng):
+    """Concurrent submits resolve to the same results as solo predicts, and
+    the group runs FEWER device forwards than requests (coalescing)."""
+    import threading
+    from chestxray_vit_tpu.serve.batcher import MicroBatcher
+
+    cfg = tiny_cfg()
+    params = vit.init_params(jax.random.key(6), cfg)
+    pred = Predictor(params, cfg, classes=list("ABCDE"), batch_size=8,
+                     canvas_size=64)
+    calls = {"n": 0}
+    orig = pred.predict_bytes
+
+    def counting(images_bytes, with_maps=False):
+        calls["n"] += 1
+        return orig(images_bytes, with_maps=with_maps)
+
+    pred.predict_bytes = counting
+
+    blobs = [_png(rng.integers(0, 255, (64, 64), np.uint8))
+             for _ in range(8)]
+    solo = [orig([b]).probs[0] for b in blobs]
+    calls["n"] = 0
+
+    batcher = MicroBatcher(pred, max_wait_ms=150.0)
+    barrier = threading.Barrier(8)
+    results = [None] * 8
+
+    def worker(i):
+        barrier.wait()
+        results[i] = batcher.predict(blobs[i]).probs
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    batcher.close()
+
+    for i in range(8):
+        np.testing.assert_allclose(results[i], solo[i], atol=1e-5)
+    assert calls["n"] <= 4                  # 8 requests coalesced
+
+
+def test_microbatcher_mixed_maps_and_errors(rng):
+    from chestxray_vit_tpu.serve.batcher import MicroBatcher
+
+    cfg = tiny_cfg()
+    params = vit.init_params(jax.random.key(6), cfg)
+    pred = Predictor(params, cfg, classes=list("ABCDE"), batch_size=4,
+                     canvas_size=64)
+    batcher = MicroBatcher(pred, max_wait_ms=50.0)
+    blob = _png(rng.integers(0, 255, (64, 64), np.uint8))
+    f_plain = batcher.submit(blob, with_maps=False)
+    f_maps = batcher.submit(blob, with_maps=True)
+    plain = f_plain.result(timeout=60)
+    mapped = f_maps.result(timeout=60)
+    assert plain.attn_map is None
+    assert mapped.attn_map is not None and mapped.attn_map.shape == (2, 2)
+    np.testing.assert_allclose(plain.probs, mapped.probs, atol=1e-5)
+    batcher.close()
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        batcher.submit(blob)
