@@ -108,8 +108,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         print("commands:", ", ".join(sorted(COMMANDS)))
         return 0
     cmd = argv.pop(0)
+    if cmd == "serve":
+        # HTTP inference server (own flag surface: --model-dir/--port/...)
+        from chestxray_vit_tpu.serve.server import main as serve_main
+        return serve_main(argv)
     if cmd not in COMMANDS:
-        print(f"unknown command {cmd!r}; one of {sorted(COMMANDS)}")
+        print(f"unknown command {cmd!r}; one of "
+              f"{sorted([*COMMANDS, 'serve'])}")
         return 2
     cfg = parse_cli(argv)
     return COMMANDS[cmd](cfg)

@@ -69,3 +69,11 @@ def test_cli_unknown_command(capsys):
 def test_cli_help():
     assert main([]) == 0
     assert main(["--help"]) == 0
+
+
+def test_cli_serve_routing():
+    """`cli serve` forwards to the HTTP server's own flag surface."""
+    import pytest as _pytest
+    from chestxray_vit_tpu import cli
+    with _pytest.raises(SystemExit):          # argparse: --model-dir required
+        cli.main(["serve"])
