@@ -15,44 +15,6 @@ import time
 import numpy as np
 
 
-def train_flops_per_image(img_size: int = 384, patch: int = 16,
-                          hidden: int = 768, layers: int = 12,
-                          mlp_dim: int = 3072, num_classes: int = 15) -> float:
-    """Analytic FLOPs for one fine-tune step per image (fwd + bwd = 3x fwd).
-
-    Counts matmul MACs x2 (patch embed as matmul, qkv/proj, QK^T, attn x V,
-    MLP, head); elementwise ops are noise at this scale. Remat recompute is
-    deliberately NOT counted — MFU measures useful math per the standard
-    convention, so full-remat configs pay their recompute as lost MFU.
-    """
-    n_patches = (img_size // patch) ** 2
-    s = n_patches + 1  # CLS
-    macs = n_patches * (patch * patch * 3) * hidden          # patch embed
-    per_layer = (4 * s * hidden * hidden                     # qkv + proj
-                 + 2 * s * s * hidden                        # QK^T + attn@V
-                 + 2 * s * hidden * mlp_dim)                 # mlp in + out
-    macs += layers * per_layer
-    macs += hidden * num_classes                             # head
-    return 3.0 * 2.0 * macs                                  # fwd+bwd, FLOPs
-
-
-def chip_peak_flops() -> float:
-    """Peak bf16 FLOP/s for the local chip. The benched chip reports
-    'TPU v5 lite' (v5e): 197 TFLOP/s bf16. Unknown kinds fall back to the
-    same figure with the kind recorded in the JSON for auditability."""
-    import jax
-    kind = jax.devices()[0].device_kind.lower()
-    if "v5 lite" in kind or "v5e" in kind:
-        return 197e12
-    if "v4" in kind:
-        return 275e12
-    if "v5p" in kind or "v5" in kind:
-        return 459e12
-    if "v6" in kind:
-        return 918e12
-    return 197e12
-
-
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -110,9 +72,11 @@ def main() -> None:
     # torch-xla HF-Trainer ViT-B@384 bf16 per-chip throughput estimate for
     # this hardware class (fwd+bwd+AdamW, batch 8/core) — see BENCH_NOTES.md.
     torch_xla_baseline = 60.0
-    # MFU: absolute accounting independent of the baseline estimate.
-    peak = chip_peak_flops()
-    flops_img = train_flops_per_image()
+    # MFU: absolute accounting independent of the baseline estimate
+    # (analytic model shared with the Trainer's live logging, utils/flops).
+    from chestxray_vit_tpu.utils import flops as F
+    peak = F.chip_peak_flops()
+    flops_img = F.model_flops_per_image(cfg.model)
     print(json.dumps({
         "metric": "images/sec/chip (ViT-B/16 @384 fine-tune step, bf16)",
         "value": round(img_per_sec_chip, 2),

@@ -108,6 +108,12 @@ class Trainer:
                              if cfg.train.load_best_model_at_end else None),
             greater_is_better=cfg.train.greater_is_better)
         self._meter = ThroughputMeter()
+        # live MFU accounting (utils/flops): useful-math FLOPs per image vs
+        # the local chip generation's bf16 peak
+        from chestxray_vit_tpu.utils import flops as F
+        self._flops_per_image = F.model_flops_per_image(cfg.model)
+        self._chip_peak = F.chip_peak_flops()
+        self._n_chips = max(len(jax.devices()), 1)
         self._last_eval_metrics: Dict[str, float] = {}
         self._last_eval_step: int = -1
 
@@ -240,12 +246,15 @@ class Trainer:
                 self.profiler.maybe_stop(step)
 
                 if cfg.logging_steps and step % cfg.logging_steps == 0:
+                    ips = self._meter.images_per_sec
                     self.logger.log(step, {
                         "loss": float(metrics["loss"]),
                         "grad_norm": float(metrics["grad_norm"]),
                         "lr": float(metrics["lr"]),
                         "epoch": epoch + batch_idx / self.steps_per_epoch,
-                        "images_per_sec": self._meter.images_per_sec,
+                        "images_per_sec": ips,
+                        "mfu": (ips / self._n_chips * self._flops_per_image
+                                / self._chip_peak),
                     })
                 if (cfg.eval_strategy == "steps" and cfg.eval_steps
                         and step % cfg.eval_steps == 0):
