@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from chestxray_vit_tpu.config import ModelConfig
 from chestxray_vit_tpu.ops.flash_attention import attention, attention_xla
+from chestxray_vit_tpu.ops.gelu import gelu as _gelu
 from chestxray_vit_tpu.ops.layer_norm import layer_norm as _layer_norm_op
 
 Params = Dict[str, Any]
@@ -167,8 +168,8 @@ def _block(x: jax.Array, bp: Params, cfg: ModelConfig, attn_impl: str,
     attn_out = _dropout(attn_out, cfg.hidden_dropout, dropout_rng, train, 0)
     x = x + attn_out
     m_in = layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"], eps)
-    hmid = jax.nn.gelu(_linear(m_in, bp["mlp_in"]),
-                       approximate=cfg.gelu_approximate)
+    hmid = _gelu(_linear(m_in, bp["mlp_in"]),
+                 approximate=cfg.gelu_approximate)
     # named for the selective 'mlp' remat policy (see apply())
     hmid = jax.ad_checkpoint.checkpoint_name(hmid, "mlp_hidden")
     mlp_out = _linear(hmid, bp["mlp_out"])
@@ -272,8 +273,8 @@ def run_block(x: jax.Array, bp: Params, cfg: ModelConfig,
     x = x + attn_out
     m_in = layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
                       cfg.layernorm_eps)
-    x = x + _linear(jax.nn.gelu(_linear(m_in, bp["mlp_in"]),
-                                approximate=cfg.gelu_approximate),
+    x = x + _linear(_gelu(_linear(m_in, bp["mlp_in"]),
+                          approximate=cfg.gelu_approximate),
                     bp["mlp_out"])
     return x, probs
 
