@@ -190,6 +190,8 @@ def jit_train_step(train_step, mesh: Mesh, state: TrainState):
         train_step,
         in_shardings=(st_sh, bt_sh),
         out_shardings=(st_sh, met_sh),
+        # donating the batch too was measured a no-op (no aliasable output
+        # shape) — state donation is what matters
         donate_argnums=(0,),
     )
 
