@@ -32,7 +32,10 @@ from chestxray_vit_tpu.config import (  # noqa: F401
 
 _LAZY = {
     "Trainer": ("chestxray_vit_tpu.train.trainer", "Trainer"),
+    "PackedTrainer": ("chestxray_vit_tpu.train.packed_trainer",
+                      "PackedTrainer"),
     "Predictor": ("chestxray_vit_tpu.serve.inference", "Predictor"),
+    "MicroBatcher": ("chestxray_vit_tpu.serve.batcher", "MicroBatcher"),
     "TrainState": ("chestxray_vit_tpu.train.steps", "TrainState"),
     "build_mesh": ("chestxray_vit_tpu.parallel.mesh", "build_mesh"),
     "build_datasets": ("chestxray_vit_tpu.data.pipeline", "build_datasets"),
