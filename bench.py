@@ -25,9 +25,10 @@ def main() -> None:
     from chestxray_vit_tpu.train import steps as S
 
     n_chips = len(jax.devices())
-    batch_per_chip = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    # batch 64/chip with scan rematerialization + the single-Q-block Pallas
-    # flash kernel is the measured sweet spot on v5e (see BENCH_NOTES.md).
+    batch_per_chip = int(sys.argv[1]) if len(sys.argv) > 1 else 36
+    # batch 36/chip with scan rematerialization + the round-2 Pallas flash
+    # kernels is the measured sweet spot on v5e (swept 8..64: 36 -> 233
+    # img/s vs 222 at 64 — see BENCH_NOTES.md).
     cfg = Config(model=ModelConfig(num_classes=15, remat=batch_per_chip > 32),
                  train=TrainConfig())
 
