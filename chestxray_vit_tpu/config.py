@@ -201,6 +201,11 @@ class TrainConfig:
 
     batch_size_per_core: int = 8            # BATCH_SIZE_PER_CORE (pyc L83)
     eval_batch_size_per_core: Optional[int] = None  # A uses 64 (.py:162)
+    # HF TrainingArguments surface (default 1 in both reference variants):
+    # k micro-batches run sequentially inside one jitted step (lax.scan),
+    # gradients averaged, ONE optimizer update — effective batch = k x
+    # batch_size_per_core x data-parallel world, with micro-batch memory.
+    gradient_accumulation_steps: int = 1
     learning_rate: float = 1e-4             # LEARNING_RATE (pyc L84)
     weight_decay: float = 0.01              # WEIGHT_DECAY (pyc L85)
     num_epochs: float = 4                   # NUM_EPOCHS (pyc L86)

@@ -43,6 +43,12 @@ class PackedTrainer(Trainer):
         self.batch_seqs = batch_seqs
         self._images_emitted = 0
         super().__init__(cfg, **kw)
+        import jax as _jax
+        if _jax.process_count() > 1:
+            raise NotImplementedError(
+                "PackedTrainer is single-host (pack boundaries are "
+                "content-dependent); shard the dataset across hosts "
+                "externally or use the dense Trainer's multi-host path")
         dp = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
         if batch_seqs % dp:
             raise ValueError(f"batch_seqs={batch_seqs} not divisible by "

@@ -90,10 +90,40 @@ def make_train_step(cfg: Config, total_steps: int
         logits = vit.apply(params, images, cfg.model, train=True, rng=rng)
         return bce_with_logits(logits, batch["labels"]), logits
 
+    accum = max(cfg.train.gradient_accumulation_steps, 1)
+
+    def grads_of(params, batch, step_rng):
+        """Loss+grads, micro-batched when gradient accumulation is on:
+        k sequential fwd+bwd passes inside the jit (lax.scan), averaged —
+        same numbers as one big batch (equal micro sizes, mean loss), at
+        micro-batch activation memory."""
+        if accum == 1:
+            (loss, _), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch, step_rng)
+            return loss, grads
+
+        micro = jax.tree.map(
+            lambda x: x.reshape(accum, x.shape[0] // accum, *x.shape[1:]),
+            batch)
+        rngs = jax.random.split(step_rng, accum)
+
+        def body(carry, mb_rng):
+            loss_sum, grad_sum = carry
+            mb, r = mb_rng
+            (loss, _), g = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, mb, r)
+            return (loss_sum + loss,
+                    jax.tree.map(jnp.add, grad_sum, g)), None
+
+        zero = (jnp.zeros((), jnp.float32),
+                jax.tree.map(jnp.zeros_like, params))
+        (loss_sum, grad_sum), _ = jax.lax.scan(body, zero, (micro, rngs))
+        inv = 1.0 / accum
+        return loss_sum * inv, jax.tree.map(lambda g: g * inv, grad_sum)
+
     def train_step(state: TrainState, batch: Dict[str, jax.Array]):
         rng, step_rng = jax.random.split(state.rng)
-        (loss, _logits), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch, step_rng)
+        loss, grads = grads_of(state.params, batch, step_rng)
         grads, grad_norm = opt.clip_by_global_norm(
             grads, adamw_cfg.max_grad_norm)
         lr = schedule(state.step)

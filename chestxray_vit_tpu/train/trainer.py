@@ -77,8 +77,11 @@ class Trainer:
         self.state = S.place_state(
             S.TrainState.create(params, cfg.train.seed), self.mesh)
 
-        self.global_batch = mesh_lib.local_batch_to_global(
+        # loader batch = micro-batch x accumulation steps (one optimizer
+        # update consumes the whole thing inside a single jitted step)
+        self.global_batch = (mesh_lib.local_batch_to_global(
             cfg.train.batch_size_per_core, self.mesh)
+            * max(cfg.train.gradient_accumulation_steps, 1))
         self.eval_batch = (cfg.train.eval_batch_size
                           * self.mesh.shape["data"]
                           * self.mesh.shape["fsdp"])

@@ -151,3 +151,55 @@ def test_tensor_parallel_mesh(rng):
     for a, b in zip(jax.tree.leaves(new_state.params),
                     jax.tree.leaves(ref_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_gradient_accumulation_matches_full_batch(rng):
+    """k micro-batches averaged inside the jitted step == one big batch
+    (equal micro sizes, mean-reduced BCE): same loss, same params after the
+    update."""
+    import dataclasses
+    cfg = tiny_config()
+    batch = make_batch(rng, 16, cfg)
+    params = vit.init_params(jax.random.key(0), cfg.model)
+
+    ref_state, ref_m = jax.jit(S.make_train_step(cfg, 100))(
+        S.TrainState.create(params, seed=0), batch)
+
+    cfg_acc = dataclasses.replace(cfg)
+    cfg_acc.train = dataclasses.replace(
+        cfg.train, gradient_accumulation_steps=4)
+    acc_state, acc_m = jax.jit(S.make_train_step(cfg_acc, 100))(
+        S.TrainState.create(params, seed=0), batch)
+
+    np.testing.assert_allclose(float(acc_m["loss"]), float(ref_m["loss"]),
+                               atol=1e-6)
+    np.testing.assert_allclose(float(acc_m["grad_norm"]),
+                               float(ref_m["grad_norm"]), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(acc_state.params),
+                    jax.tree.leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_gradient_accumulation_trains_end_to_end(tmp_path, rng):
+    """Trainer consumes k x bigger loader batches and takes one update."""
+    from chestxray_vit_tpu.config import Config, DataConfig, TrainConfig
+    from chestxray_vit_tpu.data.testing import build_fake_nih
+    from chestxray_vit_tpu.train.trainer import Trainer
+
+    fake = build_fake_nih(num_images=80, image_size=64, seed=11)
+    cfg = Config(
+        data=DataConfig(backend="memory"),
+        model=ModelConfig(img_size=64, patch_size=16, hidden_size=64,
+                          num_layers=2, num_heads=4, mlp_dim=128,
+                          dtype="float32", attention_impl="xla"),
+        train=TrainConfig(batch_size_per_core=1,
+                          gradient_accumulation_steps=3,
+                          max_steps=2, eval_strategy="no",
+                          save_strategy="steps", save_steps=100,
+                          logging_steps=100, load_best_model_at_end=False,
+                          output_dir=str(tmp_path / "o"), report_to="none"))
+    tr = Trainer(cfg, store=fake.store, pretrained=False)
+    assert tr.global_batch == 1 * 8 * 3      # per-core x 8 devices x accum
+    metrics = tr.train()
+    assert metrics["train_steps"] == 2
+    tr.close()
