@@ -9,6 +9,7 @@ per-chip estimate measured once on this hardware class (see BENCH_NOTES.md).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -23,6 +24,11 @@ def main() -> None:
     from chestxray_vit_tpu.models import vit
     from chestxray_vit_tpu.parallel import mesh as mesh_lib
     from chestxray_vit_tpu.train import steps as S
+
+    from chestxray_vit_tpu.utils.compilation_cache import (
+        enable_compilation_cache)
+    enable_compilation_cache(os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), ".xla_cache"))
 
     n_chips = len(jax.devices())
     batch_per_chip = int(sys.argv[1]) if len(sys.argv) > 1 else 36

@@ -230,6 +230,11 @@ class TrainConfig:
     greater_is_better: bool = True
 
     bf16: bool = True                       # (pyc L444; .py:105)
+    # Persistent XLA compilation cache directory (beyond the reference,
+    # whose torch_xla recompiles lazily every run): when set, compiled
+    # executables are cached on disk so restarts/resumes skip the 20-40s
+    # first-compile of the train/eval steps. Works with gs:// paths too.
+    compilation_cache_dir: Optional[str] = None
     # Preemption safety (beyond the reference, whose dead worker kills the
     # job, SURVEY §5): SIGTERM/SIGINT triggers one final checkpoint before
     # a clean exit, so `resume_from_checkpoint=auto` continues exactly.

@@ -643,6 +643,14 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
     if impl == "pallas" or (impl == "auto" and jax.default_backend() == "tpu"):
         if block_q == 0:
             s_pad = _pad_len(q.shape[2], DEFAULT_BLOCK_Q)
-            block_q = s_pad if s_pad <= 1024 else DEFAULT_BLOCK_Q
+            if s_pad <= 1024:
+                block_q = s_pad
+            elif s_pad % 384 == 0:
+                # measured on the 1025-token @512 path (s_pad 1152): 3-row
+                # blocks of 384 beat 128-row blocks 102.4 vs 99.4 img/s/chip
+                # (fewer dK/dV accumulation revisits) — see BENCH_NOTES.md
+                block_q = 384
+            else:
+                block_q = DEFAULT_BLOCK_Q
         return flash_attention(q, k, v, None, block_q, block_bh)
     return attention_xla(q, k, v)

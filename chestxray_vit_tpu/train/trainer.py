@@ -62,6 +62,11 @@ class Trainer:
         if not cfg.train.bf16 and cfg.model.dtype == "bfloat16":
             cfg.model.dtype = "float32"
 
+        # persistent XLA executable cache: restarts skip first-compile
+        from chestxray_vit_tpu.utils.compilation_cache import (
+            enable_compilation_cache)
+        enable_compilation_cache(cfg.train.compilation_cache_dir)
+
         self.mesh = mesh_lib.build_mesh(cfg.mesh)
         params = None
         if pretrained:

@@ -168,3 +168,18 @@ def test_prefetcher_surfaces_producer_errors(fake):
     assert next(it)["x"].shape == (1,)
     with pytest.raises(RuntimeError, match="producer died"):
         next(it)
+
+
+def test_compilation_cache_populated(tmp_path, fake):
+    """compilation_cache_dir persists compiled executables across runs."""
+    cache = tmp_path / "xla_cache"
+    cfg = _cfg(tmp_path, max_steps=1, eval_strategy="no", save_strategy="no",
+               load_best_model_at_end=False,
+               compilation_cache_dir=str(cache))
+    tr = Trainer(cfg, store=fake.store, pretrained=False)
+    tr.train()
+    tr.close()
+    entries = os.listdir(cache)
+    assert entries, "compilation cache directory is empty after training"
+    # the big train-step executable must be among the cached entries
+    assert any("train_step" in e for e in entries), entries

@@ -1,10 +1,12 @@
 """Perf probe: sweep one train-step config on the local chip.
 
-Usage: python tools/perf_probe.py [batch] [remat_policy] [block_q] [sync]
+Usage: python tools/perf_probe.py [batch] [remat_policy] [block_q] [sync] [img]
   batch        per-chip batch (default 64)
   remat_policy full|attn|attn_mlp|mlp|dots|none (default full)
   block_q      0=auto (default), else Q-block rows
   sync         sync window in steps (default 8)
+  img          image size (default 384; 512 → 1025-token blocked attention)
+  model        b|l (default b)
 
 Prints img/s/chip + MFU. Timing discipline per BENCH_NOTES.md (scalar sync).
 """
@@ -31,11 +33,21 @@ def main() -> None:
     policy = sys.argv[2] if len(sys.argv) > 2 else "full"
     block_q = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     sync = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    img = int(sys.argv[5]) if len(sys.argv) > 5 else 384
+    size = sys.argv[6] if len(sys.argv) > 6 else "b"
+
+    from chestxray_vit_tpu.utils.compilation_cache import (
+        enable_compilation_cache)
+    enable_compilation_cache(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".xla_cache"))
 
     n_chips = len(jax.devices())
-    cfg = Config(model=ModelConfig(num_classes=15, remat=policy != "none",
+    arch = ({"hidden_size": 1024, "num_layers": 24, "num_heads": 16,
+             "mlp_dim": 4096} if size == "l" else {})
+    cfg = Config(model=ModelConfig(num_classes=15, img_size=img,
+                                   remat=policy != "none",
                                    remat_policy=policy if policy != "none"
-                                   else "full"),
+                                   else "full", **arch),
                  train=TrainConfig())
     if block_q:
         import chestxray_vit_tpu.ops.flash_attention as fa
@@ -57,7 +69,7 @@ def main() -> None:
     b = batch * n_chips
     batch_d = mesh_lib.shard_batch(mesh, {
         "pixel_values": jnp.asarray(
-            rng.standard_normal((b, 384, 384, 3)), jnp.float32),
+            rng.standard_normal((b, img, img, 3)), jnp.float32),
         "labels": jnp.asarray((rng.random((b, 15)) < 0.2), jnp.float32),
     })
 
@@ -77,9 +89,11 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / iters
 
     ips = b / dt / n_chips
-    mfu = ips * 332.9e9 / 197e12
-    print(f"batch={batch} policy={policy} block_q={block_q} sync={sync}: "
-          f"{ips:.2f} img/s/chip  mfu={mfu:.4f}  step={dt * 1e3:.1f}ms")
+    from chestxray_vit_tpu.utils import flops as F
+    mfu = ips * F.model_flops_per_image(cfg.model) / F.chip_peak_flops()
+    print(f"batch={batch} policy={policy} block_q={block_q} sync={sync} "
+          f"img={img}: {ips:.2f} img/s/chip  mfu={mfu:.4f}  "
+          f"step={dt * 1e3:.1f}ms")
 
 
 if __name__ == "__main__":
