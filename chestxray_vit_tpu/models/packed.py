@@ -22,6 +22,7 @@ from chestxray_vit_tpu.ops.flash_attention import (
     attention_xla_packed,
     flash_attention_packed,
 )
+from chestxray_vit_tpu.ops.gelu import gelu as _gelu
 
 
 def build_pos_table(params, cfg: ModelConfig,
@@ -38,17 +39,27 @@ def build_pos_table(params, cfg: ModelConfig,
 def _packed_mha(x, bp, cfg: ModelConfig, seg_ids):
     b, s, d = x.shape
     h, hd = cfg.num_heads, cfg.head_dim
-    heads = lambda t: t.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
-    q = heads(jnp.dot(x, bp["wq"]["kernel"]) + bp["wq"]["bias"])
-    k = heads(jnp.dot(x, bp["wk"]["kernel"]) + bp["wk"]["bias"])
-    v = heads(jnp.dot(x, bp["wv"]["kernel"]) + bp["wv"]["bias"])
+
+    def heads(p):
+        # head split folded into the matmul epilogue (same trick as the
+        # dense path's vit._mha — no [B, S, H, hd] intermediate)
+        return (jnp.einsum("bsd,dhk->bhsk", x, p["kernel"].reshape(d, h, hd))
+                + p["bias"].reshape(h, 1, hd))
+
+    q, k, v = heads(bp["wq"]), heads(bp["wk"]), heads(bp["wv"])
     if cfg.attention_impl == "pallas" or (
             cfg.attention_impl == "auto" and jax.default_backend() == "tpu"):
-        o = flash_attention_packed(q, k, v, seg_ids)
+        # 384-row Q blocks when they tile the padded sequence (the 1152-token
+        # packed config): fewer dK/dV accumulation revisits, measured faster
+        # than 128-row blocks on the dense 1025-token path (BENCH_NOTES.md)
+        s_pad = ((s + 127) // 128) * 128
+        block_q = 384 if s_pad % 384 == 0 else 128
+        o = flash_attention_packed(q, k, v, seg_ids, None, block_q)
     else:
         o = attention_xla_packed(q, k, v, seg_ids)
-    o = o.transpose(0, 2, 1, 3).reshape(b, s, d)
-    return jnp.dot(o, bp["wo"]["kernel"]) + bp["wo"]["bias"]
+    # heads-merge folded into the output projection
+    return (jnp.einsum("bhsk,hkd->bsd", o, bp["wo"]["kernel"].reshape(h, hd, d))
+            + bp["wo"]["bias"])
 
 
 def apply_packed(params, tokens: jax.Array, segment_ids: jax.Array,
@@ -81,8 +92,9 @@ def apply_packed(params, tokens: jax.Array, segment_ids: jax.Array,
         x = x + _packed_mha(a_in, bp, cfg, segment_ids)
         m_in = vit.layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
                               cfg.layernorm_eps)
-        mid = jax.nn.gelu(jnp.dot(m_in, bp["mlp_in"]["kernel"])
-                          + bp["mlp_in"]["bias"], approximate=False)
+        mid = _gelu(jnp.dot(m_in, bp["mlp_in"]["kernel"])
+                    + bp["mlp_in"]["bias"],
+                    approximate=cfg.gelu_approximate)
         x = x + jnp.dot(mid, bp["mlp_out"]["kernel"]) + bp["mlp_out"]["bias"]
         return x, None
 
