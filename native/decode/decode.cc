@@ -22,6 +22,13 @@
 #include <jpeglib.h>
 #include <png.h>
 
+#if defined(__has_include)
+#if __has_include(<libdeflate.h>)
+#include <libdeflate.h>
+#define CXR_HAVE_LIBDEFLATE 1
+#endif
+#endif
+
 namespace {
 
 constexpr unsigned char kPngSig[8] = {0x89, 'P', 'N', 'G', '\r', '\n',
@@ -52,9 +59,138 @@ void png_read_fn(png_structp png, png_bytep out, png_size_t n) {
   st->offset += n;
 }
 
+#ifdef CXR_HAVE_LIBDEFLATE
+
+// Fast path for the NIH-native case: non-interlaced 8/16-bit grayscale PNG.
+// libpng's row-at-a-time zlib inflate is the measured bottleneck (~10 ms for
+// a 1024² X-ray on this host); libdeflate decompresses the concatenated IDAT
+// stream in one call at ~2-3× zlib speed, and the PNG scanline unfilter
+// (Sub/Up/Avg/Paeth, bpp 1 or 2) is a trivial pass. Anything fancier
+// (palette, color, interlace, tRNS) returns 1 = "use the libpng path".
+inline unsigned be32(const unsigned char* p) {
+  return (unsigned(p[0]) << 24) | (unsigned(p[1]) << 16) |
+         (unsigned(p[2]) << 8) | unsigned(p[3]);
+}
+
+int decode_png_gray_fast(const unsigned char* data, size_t size,
+                         unsigned char* out, int buf_h, int buf_w,
+                         int* out_h, int* out_w) {
+  if (size < 8 + 25) return 1;
+  size_t off = 8;
+  // IHDR must be first
+  if (be32(data + off) != 13 || std::memcmp(data + off + 4, "IHDR", 4) != 0)
+    return 1;
+  const unsigned char* ihdr = data + off + 8;
+  const unsigned w = be32(ihdr), h = be32(ihdr + 4);
+  const int depth = ihdr[8], color = ihdr[9];
+  const int compression = ihdr[10], filter = ihdr[11], interlace = ihdr[12];
+  if (color != 0 || (depth != 8 && depth != 16) || compression != 0 ||
+      filter != 0 || interlace != 0)
+    return 1;
+  if (w == 0 || h == 0 || static_cast<int>(h) > buf_h ||
+      static_cast<int>(w) > buf_w)
+    return 1;  // includes too-small buffer: let libpng produce exact errors
+  off += 8 + 13 + 4;
+
+  // Concatenate IDAT payloads (CRCs skipped — integrity is the inflate's
+  // adler32, which libdeflate checks).
+  std::vector<unsigned char> idat;
+  idat.reserve(size - off);
+  bool seen_end = false;
+  while (off + 8 <= size) {
+    const unsigned len = be32(data + off);
+    const unsigned char* type = data + off + 4;
+    if (off + 8 + len + 4 > size) return 1;  // truncated chunk
+    if (std::memcmp(type, "IDAT", 4) == 0) {
+      idat.insert(idat.end(), data + off + 8, data + off + 8 + len);
+    } else if (std::memcmp(type, "IEND", 4) == 0) {
+      seen_end = true;
+      break;
+    }
+    off += 8 + len + 4;
+  }
+  if (!seen_end || idat.empty()) return 1;
+
+  const size_t bpp = depth / 8;                   // bytes per pixel (1 or 2)
+  const size_t stride = static_cast<size_t>(w) * bpp;
+  const size_t raw_size = (stride + 1) * h;       // +1 filter byte per row
+  thread_local struct libdeflate_decompressor* dec =
+      libdeflate_alloc_decompressor();
+  if (!dec) return 1;
+  std::vector<unsigned char> raw(raw_size);
+  size_t actual = 0;
+  if (libdeflate_zlib_decompress(dec, idat.data(), idat.size(), raw.data(),
+                                 raw_size, &actual) != LIBDEFLATE_SUCCESS ||
+      actual != raw_size)
+    return 1;
+
+  // Unfilter scanlines in place (prev = fully reconstructed previous row).
+  std::vector<unsigned char> prev(stride, 0);
+  std::vector<unsigned char> cur(stride);
+  for (unsigned y = 0; y < h; ++y) {
+    const unsigned char* src = raw.data() + static_cast<size_t>(y) *
+                               (stride + 1);
+    const int ft = src[0];
+    const unsigned char* in = src + 1;
+    switch (ft) {
+      case 0:
+        std::memcpy(cur.data(), in, stride);
+        break;
+      case 1:  // Sub
+        for (size_t x = 0; x < bpp; ++x) cur[x] = in[x];
+        for (size_t x = bpp; x < stride; ++x)
+          cur[x] = static_cast<unsigned char>(in[x] + cur[x - bpp]);
+        break;
+      case 2:  // Up
+        for (size_t x = 0; x < stride; ++x)
+          cur[x] = static_cast<unsigned char>(in[x] + prev[x]);
+        break;
+      case 3:  // Average
+        for (size_t x = 0; x < bpp; ++x)
+          cur[x] = static_cast<unsigned char>(in[x] + prev[x] / 2);
+        for (size_t x = bpp; x < stride; ++x)
+          cur[x] = static_cast<unsigned char>(
+              in[x] + ((cur[x - bpp] + prev[x]) >> 1));
+        break;
+      case 4:  // Paeth
+        for (size_t x = 0; x < bpp; ++x)
+          cur[x] = static_cast<unsigned char>(in[x] + prev[x]);
+        for (size_t x = bpp; x < stride; ++x) {
+          const int a = cur[x - bpp], b = prev[x], c = prev[x - bpp];
+          const int p = a + b - c;
+          const int pa = p > a ? p - a : a - p;
+          const int pb = p > b ? p - b : b - p;
+          const int pc = p > c ? p - c : c - p;
+          const int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+          cur[x] = static_cast<unsigned char>(in[x] + pred);
+        }
+        break;
+      default:
+        return 1;  // invalid filter type: let libpng handle/reject it
+    }
+    unsigned char* dst = out + static_cast<size_t>(y) * buf_w;
+    if (bpp == 1) {
+      std::memcpy(dst, cur.data(), w);
+    } else {  // 16-bit big-endian → high byte (libpng png_set_strip_16)
+      for (unsigned x = 0; x < w; ++x) dst[x] = cur[2 * x];
+    }
+    cur.swap(prev);
+  }
+  *out_h = static_cast<int>(h);
+  *out_w = static_cast<int>(w);
+  return 0;
+}
+
+#endif  // CXR_HAVE_LIBDEFLATE
+
 int decode_png_gray(const unsigned char* data, size_t size,
                     unsigned char* out, int buf_h, int buf_w,
                     int* out_h, int* out_w) {
+#ifdef CXR_HAVE_LIBDEFLATE
+  const int fast = decode_png_gray_fast(data, size, out, buf_h, buf_w,
+                                        out_h, out_w);
+  if (fast <= 0) return fast;   // 0 = decoded; negative = hard error
+#endif
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
                                            nullptr, nullptr);
   if (!png) return -2;

@@ -98,3 +98,38 @@ def test_native_preferred_in_decode_gray(rng):
     arr = rng.integers(0, 255, (32, 32), np.uint8)
     out = dec.decode_gray(_png(arr), prefer_native=True)
     np.testing.assert_array_equal(out, arr)
+
+
+def test_png_gray16_strips_high_byte(rng):
+    """16-bit grayscale PNG → high byte, matching PIL's 'I;16'→'L' semantics
+    via libpng png_set_strip_16 (exercises the libdeflate fast path's
+    bpp=2 unfilter + byte-select)."""
+    arr16 = rng.integers(0, 65535, (64, 80), np.uint16)
+    buf = io.BytesIO()
+    Image.fromarray(arr16, "I;16").save(buf, format="PNG")
+    # oracle: decode the PNG bytes back through PIL (the file stores
+    # PNG-spec big-endian samples regardless of PIL's in-memory layout)
+    out = dec.decode_gray_native(buf.getvalue())
+    oracle = np.asarray(
+        Image.open(io.BytesIO(buf.getvalue())), np.uint16) >> 8
+    np.testing.assert_array_equal(out, oracle.astype(np.uint8))
+
+
+def test_png_gray_all_filter_types(rng):
+    """Gradient+noise images steer PNG encoders through Sub/Up/Avg/Paeth
+    filters; decode must stay PIL-exact (pins the fast-path unfilter)."""
+    yy, xx = np.mgrid[0:200, 0:160]
+    for img in [
+        ((xx * 255) // 160).astype(np.uint8),                 # row gradient
+        ((yy * 255) // 200).astype(np.uint8),                 # col gradient
+        (((xx + yy) * 255) // 360).astype(np.uint8),          # diagonal
+        np.clip(((np.sin(yy / 9.0) + np.cos(xx / 7.0)) * 80 + 128), 0,
+                255).astype(np.uint8),                        # smooth waves
+        rng.integers(0, 255, (200, 160), np.uint8),           # noise
+    ]:
+        for level in (1, 6, 9):
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, format="PNG",
+                                      compress_level=level)
+            out = dec.decode_gray_native(buf.getvalue())
+            np.testing.assert_array_equal(out, img)
