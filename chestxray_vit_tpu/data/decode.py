@@ -63,6 +63,17 @@ def _load_native() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int),              # rcs
                 ctypes.c_int,                              # threads
             ]
+            lib.cxr_crop_pad_resize.restype = ctypes.c_int
+            lib.cxr_crop_pad_resize.argtypes = [
+                ctypes.POINTER(ctypes.c_ubyte),            # input image
+                ctypes.c_int, ctypes.c_int,                # in H, W
+                ctypes.c_size_t,                           # in row stride
+                ctypes.c_int, ctypes.c_int,                # crop left, top
+                ctypes.c_int, ctypes.c_int,                # crop W, H
+                ctypes.c_int, ctypes.c_int,                # stretch, flip
+                ctypes.POINTER(ctypes.c_ubyte),            # output buffer
+                ctypes.c_int,                              # out size
+            ]
             _native_lib = lib
         except OSError as e:                               # noqa: PERF203
             print(f"[decode] native decoder unavailable: {e}")
@@ -143,6 +154,29 @@ def decode_batch_native(blobs, canvas: np.ndarray, threads: int = 8
         hs, ws, rcs, threads)
     return (np.asarray(hs, np.int32), np.asarray(ws, np.int32),
             np.asarray(rcs, np.int32))
+
+
+def crop_pad_resize_native(gray: np.ndarray, left: int, top: int, cw: int,
+                           ch: int, out_size: int, stretch: bool = False,
+                           flip: bool = False) -> Optional[np.ndarray]:
+    """C++ crop → centered pad-to-square → PIL-BILINEAR-exact resize →
+    optional horizontal flip (the reference's host chain, pyc L289-L296,
+    in one native call). None when the library isn't built or on bad
+    arguments (callers fall back to the PIL path)."""
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "cxr_crop_pad_resize"):
+        return None
+    gray = np.ascontiguousarray(gray, dtype=np.uint8)
+    h, w = gray.shape
+    out = np.empty((out_size, out_size), dtype=np.uint8)
+    rc = lib.cxr_crop_pad_resize(
+        gray.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), h, w, w,
+        int(left), int(top), int(cw), int(ch),
+        int(bool(stretch)), int(bool(flip)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), out_size)
+    if rc != 0:
+        return None
+    return out
 
 
 def dummy_image(size: Tuple[int, int] = (384, 384)) -> np.ndarray:

@@ -13,6 +13,7 @@
 // Build: make -C native/decode    → libcxrdecode.so
 
 #include <atomic>
+#include <cmath>
 #include <csetjmp>
 #include <cstdint>
 #include <cstring>
@@ -295,9 +296,163 @@ int decode_jpeg_gray(const unsigned char* data, size_t size,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Crop → centered pad-to-square → bilinear resize (PIL-exact)
+// ---------------------------------------------------------------------------
+//
+// Reproduces PIL Image.resize(..., Image.BILINEAR) bit-exactly for 8-bit
+// grayscale: separable triangle filter with antialias support scaling on
+// downscale, coefficients rounded to 1<<22 fixed point, horizontal pass then
+// vertical pass, accumulator initialized at half-ulp (Pillow Resample.c).
+// The reference's host chain is crop → pad_to_square → Resize((384, 384))
+// (pyc L289-L296); this runs that whole chain in one native call.
+
+constexpr int kPrecisionBits = 32 - 8 - 2;  // Pillow PRECISION_BITS
+
+inline unsigned char resample_clip8(int v) {
+  v >>= kPrecisionBits;
+  if (v < 0) return 0;
+  if (v > 255) return 255;
+  return static_cast<unsigned char>(v);
+}
+
+inline double triangle_filter(double x) {
+  if (x < 0.0) x = -x;
+  return x < 1.0 ? 1.0 - x : 0.0;
+}
+
+// Pillow ImagingPrecomputeCoeffs + normalize_coeffs_8bpc for one axis.
+void precompute_coeffs(int in_size, int out_size, std::vector<int>* bounds,
+                       std::vector<int>* kk, int* ksize_out) {
+  const double scale = static_cast<double>(in_size) / out_size;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double support = 1.0 * filterscale;  // triangle support = 1.0
+  const int ksize = static_cast<int>(std::ceil(support)) * 2 + 1;
+  bounds->assign(static_cast<size_t>(out_size) * 2, 0);
+  std::vector<double> pre(static_cast<size_t>(out_size) * ksize, 0.0);
+  const double ss = 1.0 / filterscale;
+  for (int xx = 0; xx < out_size; ++xx) {
+    const double center = (xx + 0.5) * scale;
+    int xmin = static_cast<int>(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = static_cast<int>(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+    double* k = pre.data() + static_cast<size_t>(xx) * ksize;
+    double ww = 0.0;
+    for (int x = 0; x < xmax; ++x) {
+      const double w = triangle_filter((x + xmin - center + 0.5) * ss);
+      k[x] = w;
+      ww += w;
+    }
+    if (ww != 0.0)
+      for (int x = 0; x < xmax; ++x) k[x] /= ww;
+    (*bounds)[xx * 2 + 0] = xmin;
+    (*bounds)[xx * 2 + 1] = xmax;
+  }
+  kk->assign(pre.size(), 0);
+  for (size_t i = 0; i < pre.size(); ++i)
+    (*kk)[i] = static_cast<int>(pre[i] < 0
+                                    ? -0.5 + pre[i] * (1 << kPrecisionBits)
+                                    : 0.5 + pre[i] * (1 << kPrecisionBits));
+  *ksize_out = ksize;
+}
+
+int crop_pad_resize_u8(const unsigned char* in, int in_h, int in_w,
+                       size_t in_stride, int left, int top, int cw, int ch,
+                       int stretch, int flip, unsigned char* out,
+                       int out_size) {
+  if (cw <= 0 || ch <= 0 || out_size <= 0) return -1;
+  if (left < 0 || top < 0 || left + cw > in_w || top + ch > in_h) return -1;
+
+  // Materialize the resample input: the crop itself (stretch) or the crop
+  // centered on a zero square of side max(cw, ch) (pad_to_square,
+  // pyc L184-L196 offsets: (side - dim) // 2).
+  int src_h, src_w;
+  thread_local std::vector<unsigned char> square;
+  const unsigned char* src;
+  size_t src_stride;
+  if (stretch || cw == ch) {
+    // stretch skips padding; an already-square crop pads to itself — both
+    // resample straight out of the caller's buffer, no copy
+    src = in + static_cast<size_t>(top) * in_stride + left;
+    src_stride = in_stride;
+    src_h = ch;
+    src_w = cw;
+  } else {
+    const int side = cw > ch ? cw : ch;
+    const int top_off = (side - ch) / 2;
+    const int left_off = (side - cw) / 2;
+    square.assign(static_cast<size_t>(side) * side, 0);
+    for (int y = 0; y < ch; ++y)
+      std::memcpy(square.data() + static_cast<size_t>(top_off + y) * side +
+                      left_off,
+                  in + static_cast<size_t>(top + y) * in_stride + left, cw);
+    src = square.data();
+    src_stride = side;
+    src_h = side;
+    src_w = side;
+  }
+
+  // Horizontal pass: [src_h, src_w] → [src_h, out_size].
+  std::vector<int> hb, hk, vb, vk;
+  int hks, vks;
+  precompute_coeffs(src_w, out_size, &hb, &hk, &hks);
+  precompute_coeffs(src_h, out_size, &vb, &vk, &vks);
+  thread_local std::vector<unsigned char> tmp;
+  tmp.resize(static_cast<size_t>(src_h) * out_size);
+  for (int y = 0; y < src_h; ++y) {
+    const unsigned char* row = src + static_cast<size_t>(y) * src_stride;
+    unsigned char* dst = tmp.data() + static_cast<size_t>(y) * out_size;
+    for (int xx = 0; xx < out_size; ++xx) {
+      const int xmin = hb[xx * 2], xmax = hb[xx * 2 + 1];
+      const int* k = hk.data() + static_cast<size_t>(xx) * hks;
+      int acc = 1 << (kPrecisionBits - 1);
+      for (int x = 0; x < xmax; ++x) acc += row[xmin + x] * k[x];
+      dst[xx] = resample_clip8(acc);
+    }
+  }
+
+  // Vertical pass: [src_h, out_size] → [out_size, out_size]. Row-contiguous
+  // accumulation (tap-outer, column-inner) keeps the tmp reads sequential
+  // and lets the compiler vectorize the multiply-accumulate across columns.
+  std::vector<int> acc(out_size);
+  for (int yy = 0; yy < out_size; ++yy) {
+    const int ymin = vb[yy * 2], ymax = vb[yy * 2 + 1];
+    const int* k = vk.data() + static_cast<size_t>(yy) * vks;
+    std::fill(acc.begin(), acc.end(), 1 << (kPrecisionBits - 1));
+    for (int y = 0; y < ymax; ++y) {
+      const unsigned char* row =
+          tmp.data() + static_cast<size_t>(ymin + y) * out_size;
+      const int ky = k[y];
+      for (int xx = 0; xx < out_size; ++xx) acc[xx] += row[xx] * ky;
+    }
+    unsigned char* dst = out + static_cast<size_t>(yy) * out_size;
+    if (flip) {
+      for (int xx = 0; xx < out_size; ++xx)
+        dst[out_size - 1 - xx] = resample_clip8(acc[xx]);
+    } else {
+      for (int xx = 0; xx < out_size; ++xx) dst[xx] = resample_clip8(acc[xx]);
+    }
+  }
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Crop box (left, top, cw, ch) from a (in_h, in_w) u8 image with row stride
+// in_stride, centered-pad to square unless stretch, PIL-BILINEAR-exact
+// resize to (out_size, out_size), optional horizontal flip. Returns 0 on
+// success, negative on bad arguments.
+int cxr_crop_pad_resize(const unsigned char* in, int in_h, int in_w,
+                        size_t in_stride, int left, int top, int cw, int ch,
+                        int stretch, int flip, unsigned char* out,
+                        int out_size) {
+  return crop_pad_resize_u8(in, in_h, in_w, in_stride, left, top, cw, ch,
+                            stretch, flip, out, out_size);
+}
 
 // Decode one PNG/JPEG into a (buf_h, buf_w) u8 buffer (row stride = buf_w).
 // Returns 0 on success; negative on failure. The decoded extent is written

@@ -133,3 +133,27 @@ def test_png_gray_all_filter_types(rng):
                                       compress_level=level)
             out = dec.decode_gray_native(buf.getvalue())
             np.testing.assert_array_equal(out, img)
+
+
+def test_crop_pad_resize_matches_pil_chain(rng):
+    """The C++ crop→pad→resize stage is byte-equal to the PIL host chain
+    across crop geometries, up/downscale, stretch, and flip."""
+    from chestxray_vit_tpu.data import geometry as geo
+    from chestxray_vit_tpu.data import pipeline as pipe
+
+    for _ in range(25):
+        h, w = (int(x) for x in rng.integers(40, 500, 2))
+        gray = rng.integers(0, 255, (h, w), np.uint8)
+        cw = int(rng.integers(8, w + 1))
+        ch = int(rng.integers(8, h + 1))
+        left = int(rng.integers(0, w - cw + 1))
+        top = int(rng.integers(0, h - ch + 1))
+        out_size = int(rng.choice([64, 224, 384]))
+        stretch = bool(rng.integers(0, 2))
+        flip = bool(rng.integers(0, 2))
+        box = geo.CropBox(left=left, top=top, width=cw, height=ch)
+        native = pipe.host_resize(gray, box, out_size, stretch, flip,
+                                  prefer_native=True)
+        pil = pipe.host_resize(gray, box, out_size, stretch, flip,
+                               prefer_native=False)
+        np.testing.assert_array_equal(native, pil)
