@@ -7,6 +7,9 @@ Usage: python tools/perf_probe.py [batch] [remat_policy] [block_q] [sync] [img]
   sync         sync window in steps (default 8)
   img          image size (default 384; 512 → 1025-token blocked attention)
   model        b|l (default b)
+  placement    pixels|u8|canvas (default pixels): what the host ships —
+               f32 NHWC, host-resized u8 grayscale, or raw 1024² decode
+               canvases + crop boxes for the fused device preprocess
 
 Prints img/s/chip + MFU. Timing discipline per BENCH_NOTES.md (scalar sync).
 """
@@ -35,6 +38,7 @@ def main() -> None:
     sync = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     img = int(sys.argv[5]) if len(sys.argv) > 5 else 384
     size = sys.argv[6] if len(sys.argv) > 6 else "b"
+    placement = sys.argv[7] if len(sys.argv) > 7 else "pixels"
 
     from chestxray_vit_tpu.utils.compilation_cache import (
         enable_compilation_cache)
@@ -67,11 +71,23 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     b = batch * n_chips
-    batch_d = mesh_lib.shard_batch(mesh, {
-        "pixel_values": jnp.asarray(
-            rng.standard_normal((b, img, img, 3)), jnp.float32),
-        "labels": jnp.asarray((rng.random((b, 15)) < 0.2), jnp.float32),
-    })
+    labels = jnp.asarray((rng.random((b, 15)) < 0.2), jnp.float32)
+    if placement == "canvas":
+        host = {
+            "canvas_u8": jnp.asarray(
+                rng.integers(0, 255, (b, 1024, 1024)), jnp.uint8),
+            "boxes": jnp.tile(jnp.asarray([[0, 0, 1024, 1024]], jnp.int32),
+                              (b, 1)),
+            "flips": jnp.zeros((b,), bool),
+            "stretches": jnp.zeros((b,), bool),
+        }
+    elif placement == "u8":
+        host = {"pixel_values_u8": jnp.asarray(
+            rng.integers(0, 255, (b, img, img)), jnp.uint8)}
+    else:
+        host = {"pixel_values": jnp.asarray(
+            rng.standard_normal((b, img, img, 3)), jnp.float32)}
+    batch_d = mesh_lib.shard_batch(mesh, {**host, "labels": labels})
 
     t0 = time.perf_counter()
     for _ in range(3):
@@ -92,8 +108,8 @@ def main() -> None:
     from chestxray_vit_tpu.utils import flops as F
     mfu = ips * F.model_flops_per_image(cfg.model) / F.chip_peak_flops()
     print(f"batch={batch} policy={policy} block_q={block_q} sync={sync} "
-          f"img={img}: {ips:.2f} img/s/chip  mfu={mfu:.4f}  "
-          f"step={dt * 1e3:.1f}ms")
+          f"img={img} placement={placement}: {ips:.2f} img/s/chip  "
+          f"mfu={mfu:.4f}  step={dt * 1e3:.1f}ms")
 
 
 if __name__ == "__main__":
