@@ -166,7 +166,8 @@ class SampleLoader:
             stretch = False
 
         if self.placement == "host":
-            img = host_resize(gray, box, self.img_size, stretch, flip)
+            img = host_resize(gray, box, self.img_size, stretch, flip,
+                              prefer_native=self.prefer_native_decode)
             return {"pixel_values_u8": img, "labels": labels}
 
         # device placement: fixed canvas + crop params
