@@ -45,54 +45,101 @@ class Predictor:
 
     def __init__(self, params, cfg: ModelConfig,
                  classes: Optional[Sequence[str]] = None,
-                 batch_size: int = 8, canvas_size: int = 1024):
+                 batch_size: int = 8, canvas_size: int = 1024,
+                 placement: str = "host"):
+        """``placement`` picks where crop/pad/resize runs:
+
+        - 'host' (default): decode + native C++ crop/pad/resize on host,
+          ship u8 img² grayscale (~147 KB/image at 384) — the right trade
+          when host→device bandwidth dominates request latency;
+        - 'device': ship raw u8 canvases + crop boxes (~1 MB/image) and run
+          the fused MXU preprocess on chip — the right trade when host CPU
+          is the bottleneck.
+        """
         self.params = params
         self.cfg = cfg
         self.classes = list(classes) if classes else None
         self.batch_size = batch_size
         self.canvas_size = canvas_size
+        if placement not in ("host", "device"):
+            raise ValueError(f"unknown placement {placement!r}")
+        self.placement = placement
 
-        def forward(params, canvases, boxes):
-            images = fused_preprocess(canvases, boxes,
-                                      out_size=cfg.img_size,
-                                      dtype=jnp.dtype(cfg.dtype))
-            logits = vit.apply(params, images, cfg)
+        def images_of(staged):
+            from chestxray_vit_tpu.ops.preprocess import normalize_u8
+            if self.placement == "device":
+                canvases, boxes = staged
+                return fused_preprocess(canvases, boxes,
+                                        out_size=cfg.img_size,
+                                        dtype=jnp.dtype(cfg.dtype))
+            return normalize_u8(staged[0], dtype=jnp.dtype(cfg.dtype))
+
+        def forward(params, *staged):
+            logits = vit.apply(params, images_of(staged), cfg)
             return logits, jax.nn.sigmoid(logits)
 
         self._forward = jax.jit(forward)
 
-        def forward_rollout(params, canvases, boxes):
-            images = fused_preprocess(canvases, boxes,
-                                      out_size=cfg.img_size,
-                                      dtype=jnp.dtype(cfg.dtype))
-            logits, maps = am.compute_rollout(params, images, cfg)
+        def forward_rollout(params, *staged):
+            logits, maps = am.compute_rollout(params, images_of(staged), cfg)
             return logits, jax.nn.sigmoid(logits), maps
 
         self._forward_rollout = jax.jit(forward_rollout)
 
     @classmethod
-    def from_model_dir(cls, directory: str, batch_size: int = 8
-                       ) -> "Predictor":
+    def from_model_dir(cls, directory: str, batch_size: int = 8,
+                       placement: str = "host") -> "Predictor":
         with open(os.path.join(os.path.expanduser(directory),
                                "config.json")) as f:
             cfg = Config.from_json(f.read())
         template = vit.init_params(jax.random.key(0), cfg.model)
         params, classes = load_model(directory, template)
-        return cls(params, cfg.model, classes, batch_size)
+        return cls(params, cfg.model, classes, batch_size,
+                   placement=placement)
 
     # ------------------------------------------------------------------
 
-    def _stage(self, images_bytes: Sequence[bytes]):
-        """bytes → (canvases u8 [n, C, C], boxes i32 [n, 4])."""
+    def _stage(self, images_bytes: Sequence[bytes], n_pad: int):
+        """bytes → staged device operands (zero rows for tail padding).
+
+        'device': (canvases u8 [n, C, C], boxes i32 [n, 4]);
+        'host':   (pixels u8 [n, img, img],) — decoded + C++ crop/pad/resize
+        on host, so only ~img² bytes per image cross the host→device link.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
         c = self.canvas_size
-        canvases = np.zeros((len(images_bytes), c, c), np.uint8)
-        boxes = np.zeros((len(images_bytes), 4), np.int32)
-        for i, data in enumerate(images_bytes):
+        n = len(images_bytes) + n_pad
+        if self.placement == "host":
+            s = self.cfg.img_size
+            pixels = np.zeros((n, s, s), np.uint8)
+
+            def stage_one(i_data):
+                # decode + crop/pad/resize both run in the C++ stage outside
+                # the GIL, so request staging parallelizes across cores
+                i, data = i_data
+                gray = dec.safe_decode_gray(data, dummy_size=(c, c))
+                h, w = gray.shape
+                from chestxray_vit_tpu.data.pipeline import host_resize
+                pixels[i] = host_resize(gray, geo.full_image_box(w, h), s)
+
+            with ThreadPoolExecutor(min(8, max(len(images_bytes), 1))) as ex:
+                list(ex.map(stage_one, enumerate(images_bytes)))
+            return (pixels,)
+        canvases = np.zeros((n, c, c), np.uint8)
+        boxes = np.zeros((n, 4), np.int32)
+        boxes[:, 2:] = 1                 # degenerate-but-valid pad boxes
+
+        def stage_canvas(i_data):
+            i, data = i_data
             gray = dec.safe_decode_gray(data, dummy_size=(c, c))
             h, w = min(gray.shape[0], c), min(gray.shape[1], c)
             canvases[i, :h, :w] = gray[:h, :w]
             box = geo.full_image_box(w, h)
             boxes[i] = (box.left, box.top, box.width, box.height)
+
+        with ThreadPoolExecutor(min(8, max(len(images_bytes), 1))) as ex:
+            list(ex.map(stage_canvas, enumerate(images_bytes)))
         return canvases, boxes
 
     def predict_bytes(self, images_bytes: Sequence[bytes],
@@ -104,16 +151,15 @@ class Predictor:
         for lo in range(0, n, bs):
             chunk = list(images_bytes[lo:lo + bs])
             valid = len(chunk)
-            while len(chunk) < bs:       # static-shape tail padding
-                chunk.append(chunk[-1])
-            canvases, boxes = self._stage(chunk)
+            # static-shape tail padding: zero rows, no redundant decode
+            staged = tuple(jnp.asarray(a)
+                           for a in self._stage(chunk, bs - valid))
             if with_maps:
                 logits, probs, maps = self._forward_rollout(
-                    self.params, jnp.asarray(canvases), jnp.asarray(boxes))
+                    self.params, *staged)
                 maps_out.append(np.asarray(maps)[:valid])
             else:
-                logits, probs = self._forward(
-                    self.params, jnp.asarray(canvases), jnp.asarray(boxes))
+                logits, probs = self._forward(self.params, *staged)
             logits_out.append(np.asarray(logits)[:valid])
             probs_out.append(np.asarray(probs)[:valid])
         return PredictOutput(

@@ -286,3 +286,20 @@ def test_microbatcher_mixed_maps_and_errors(rng):
     import pytest as _pytest
     with _pytest.raises(RuntimeError):
         batcher.submit(blob)
+
+
+def test_predictor_placements_agree(rng):
+    """'host' (C++/PIL resize, u8 ship) and 'device' (fused MXU preprocess)
+    stagings produce matching probabilities (resamplers differ by ≤2.5/255
+    per pixel — PARITY §2.1 ROI row — so logits agree loosely, rankings
+    tightly)."""
+    cfg = tiny_cfg()
+    params = vit.init_params(jax.random.key(4), cfg)
+    blobs = [_png(rng.integers(0, 255, (48, 64), np.uint8))
+             for _ in range(3)]
+    out_h = Predictor(params, cfg, batch_size=4, canvas_size=64,
+                      placement="host").predict_bytes(blobs)
+    out_d = Predictor(params, cfg, batch_size=4, canvas_size=64,
+                      placement="device").predict_bytes(blobs)
+    assert out_h.probs.shape == out_d.probs.shape == (3, 5)
+    np.testing.assert_allclose(out_h.probs, out_d.probs, atol=0.05)
