@@ -78,6 +78,12 @@ def _load_native() -> Optional[ctypes.CDLL]:
         except OSError as e:                               # noqa: PERF203
             print(f"[decode] native decoder unavailable: {e}")
             _native_lib = None
+        except AttributeError as e:
+            # a stale prebuilt .so missing a newer symbol must degrade to
+            # PIL, not crash the loader (rebuild with `make -C native/decode`)
+            print(f"[decode] native decoder stale ({e}); "
+                  "rebuild with `make -C native/decode`")
+            _native_lib = None
         return _native_lib
 
 

@@ -240,6 +240,14 @@ def iterate_batches(
         order[i:i + batch_size] for i in range(0, n, batch_size)]
     if drop_last and batches and len(batches[-1]) < batch_size:
         batches.pop()
+    if (host_range is not None and not pad_last and batches
+            and len(batches[-1]) < batch_size):
+        # a ragged global tail sliced per-host gives hosts unequal (possibly
+        # empty) shard shapes — fail loudly instead of crashing in _stack or
+        # desyncing the global-batch assembly
+        raise ValueError(
+            "host_range requires drop_last or pad_last when the dataset "
+            f"size ({n}) does not divide the global batch ({batch_size})")
     if skip_batches:
         batches = batches[skip_batches:]
     if not batches:

@@ -41,6 +41,7 @@ class MicroBatcher:
         self.max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
+        self._lock = threading.Lock()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -48,10 +49,14 @@ class MicroBatcher:
 
     def submit(self, data: bytes, with_maps: bool = False) -> "Future":
         """Enqueue one image; the Future resolves to a BatchedResult."""
-        if self._closed:
-            raise RuntimeError("batcher is closed")
         fut: "Future" = Future()
-        self._q.put(_Request(data, with_maps, fut))
+        # the lock orders every accepted request BEFORE close()'s shutdown
+        # sentinel — otherwise a submit racing close() could enqueue after
+        # the sentinel and its Future (and a blocked predict()) would hang
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._q.put(_Request(data, with_maps, fut))
         return fut
 
     def predict(self, data: bytes, with_maps: bool = False) -> BatchedResult:
@@ -59,9 +64,20 @@ class MicroBatcher:
         return self.submit(data, with_maps).result()
 
     def close(self) -> None:
-        self._closed = True
-        self._q.put(None)
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)
         self._thread.join(timeout=5)
+        # belt-and-braces: fail anything still queued (e.g. the worker died)
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item.future.set_exception(RuntimeError("batcher is closed"))
 
     # ------------------------------------------------------------------
 

@@ -32,6 +32,10 @@ def make_handler(predictor: Predictor, max_body: int = MAX_BODY_BYTES,
     batcher = batcher or MicroBatcher(predictor)
 
     class Handler(BaseHTTPRequestHandler):
+        # socket read timeout: a stalled/trickling client can't pin a
+        # handler thread indefinitely
+        timeout = 60
+
         def log_message(self, *args):  # quiet
             pass
 
@@ -60,9 +64,12 @@ def make_handler(predictor: Predictor, max_body: int = MAX_BODY_BYTES,
             if length <= 0:
                 return self._json(400, {"error": "empty body"})
             if length > max_body:
-                # drain what the client already sent so the response can be
-                # delivered instead of a reset mid-upload
-                remaining = length
+                # drain a bounded amount so overshoots up to 2x the cap
+                # still see the 413; a huge declared length just gets the
+                # connection cut (never read the full client-declared size
+                # — that lets one request hold the thread for an arbitrary
+                # upload)
+                remaining = min(length, max_body)
                 while remaining > 0:
                     chunk = self.rfile.read(min(remaining, 1 << 20))
                     if not chunk:

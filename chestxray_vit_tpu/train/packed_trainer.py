@@ -41,7 +41,8 @@ class PackedTrainer(Trainer):
         self.seq_len = seq_len
         self.grids = tuple(grids)
         self.batch_seqs = batch_seqs
-        self._images_emitted = 0
+        self._images_cum = [0]     # cumulative images after k consumed batches
+        self._resume_skip = 0
         super().__init__(cfg, **kw)
         import jax as _jax
         if _jax.process_count() > 1:
@@ -103,21 +104,31 @@ class PackedTrainer(Trainer):
         cover a prefix of the epoch order, so skipping the prefix before
         any fetch/decode and re-packing the remainder reproduces the
         uninterrupted run's batches exactly (see iterate_packed_batches)."""
-        self._images_emitted = skip
+        # cumulative image counts are appended at PRODUCE time (this
+        # generator runs inside DevicePrefetcher's background thread, up to
+        # depth batches ahead of training) but indexed at CONSUME time in
+        # _save via the train loop's batch_idx — a checkpoint cursor must
+        # count images actually trained, not images sitting in the prefetch
+        # queue, or resume would silently skip never-trained data
+        self._resume_skip = skip
+        self._images_cum = cum = [skip]
         for batch in self._packed_iter(self.bundle.train, epoch,
                                        skip_images=skip):
             n_seqs = int(batch.pop("n_seqs"))
             n_images = int(batch.pop("n_images"))
             if n_seqs < self.batch_seqs:
                 continue   # drop the zero-padded tail batch (drop_last)
-            self._images_emitted += n_images
+            cum.append(cum[-1] + n_images)
             yield mesh_lib.shard_batch(self.mesh, batch)
 
     def _save(self, step: int, epoch: int, batch_idx: int) -> None:
-        # the packed cursor stores images consumed, not batch count
+        # the packed cursor stores images consumed, not batch count; the
+        # base loop's batch_idx = resume skip (an IMAGE count here) + the
+        # number of batches consumed so far this epoch
         metrics = (self._last_eval_metrics
                    if getattr(self, "_last_eval_step", -1) == step else None)
-        images = 0 if batch_idx == 0 else self._images_emitted
+        consumed = batch_idx - self._resume_skip
+        images = 0 if batch_idx == 0 else self._images_cum[consumed]
         self.ckpt.save(step, self.state,
                        cursor=ckpt.DataCursor(epoch, images),
                        metrics=metrics)

@@ -102,8 +102,14 @@ def make_train_step(cfg: Config, total_steps: int
                 loss_fn, has_aux=True)(params, batch, step_rng)
             return loss, grads
 
+        # strided micro split: micro-batch i takes rows i, i+accum, ... so
+        # every device's contiguous data-axis shard contributes equally to
+        # each micro-batch and the split needs no cross-device resharding
+        # (a contiguous split would concentrate each micro-batch on
+        # dp/accum devices and force an all-to-all per scan iteration)
         micro = jax.tree.map(
-            lambda x: x.reshape(accum, x.shape[0] // accum, *x.shape[1:]),
+            lambda x: x.reshape(x.shape[0] // accum, accum,
+                                *x.shape[1:]).swapaxes(0, 1),
             batch)
         rngs = jax.random.split(step_rng, accum)
 

@@ -209,6 +209,15 @@ class Trainer:
         cfg = self.cfg.train
         self._stop_requested = False
         restore_handlers = self._install_preemption_handler()
+        try:
+            return self._train_inner(cfg)
+        finally:
+            # restore on ALL exits — a crashed run must not leave SIGINT/
+            # SIGTERM pointing at a dead trainer's stop flag for the rest
+            # of the process
+            restore_handlers()
+
+    def _train_inner(self, cfg) -> Dict[str, float]:
         cursor = ckpt.DataCursor()
         if cfg.resume_from_checkpoint:
             step = (None if cfg.resume_from_checkpoint == "auto"
@@ -300,7 +309,6 @@ class Trainer:
 
         self.profiler.stop_if_active()
         self.ckpt.wait()
-        restore_handlers()
 
         if cfg.load_best_model_at_end and self.ckpt.all_steps():
             best = self.ckpt.best_step() or self.ckpt.latest_step()

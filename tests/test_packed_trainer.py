@@ -133,7 +133,28 @@ def test_packed_trainer_checkpoint_resume(tmp_path):
     tr1.train()
     tr1.ckpt.wait()
     assert tr1.ckpt.latest_step() == 2
-    imgs_at_save = tr1._images_emitted
+    # the persisted cursor must count images in the 2 CONSUMED batches only
+    # — not batches the prefetch thread produced ahead (regression: the old
+    # produce-side counter over-counted by up to prefetch_depth+1 batches,
+    # making resume skip never-trained data)
+    from chestxray_vit_tpu.data import packing as pk
+    expected = 0
+    n_full = 0
+    for b in pk.iterate_packed_batches(
+            tr1.bundle.train, tr1.bundle.blob_map, big.store,
+            batch_seqs=8, patch=16, seq_len=48, grids=GRIDS,
+            epoch=0, shuffle=True, seed=cfg.data.shuffle_buffer_seed,
+            num_workers=2):
+        if int(b["n_seqs"]) < 8:
+            continue
+        expected += int(b["n_images"])
+        n_full += 1
+        if n_full == 2:
+            break
+    _, cursor, _ = tr1.ckpt.restore(2, tr1.state)
+    assert cursor.epoch == 0
+    assert cursor.batch_in_epoch == expected
+    imgs_at_save = cursor.batch_in_epoch
     assert imgs_at_save > 0
     tr1.close()
 

@@ -203,3 +203,26 @@ def test_fault_injection_degrades_to_dummies(fake):
     s_flaky = loader.load(1)
     s_ok = healthy.load(1)
     np.testing.assert_array_equal(s_flaky["labels"], s_ok["labels"])
+
+
+def test_host_range_ragged_tail_raises(fake):
+    """Multi-host slicing over a ragged global tail would give hosts
+    unequal shard shapes — iterate_batches must refuse unless the caller
+    picked drop_last or pad_last (which restore uniformity)."""
+    b = pipe.build_datasets(_cfg(), store=fake.store)
+    loader = pipe.SampleLoader(b.train, b.blob_map, fake.store, img_size=64,
+                               prefer_native_decode=False)
+    bs = len(b.train) - 1                   # guarantees a 1-sample tail
+    with pytest.raises(ValueError, match="host_range"):
+        list(pipe.iterate_batches(loader, bs, num_workers=2,
+                                  host_range=(0, bs // 2)))
+    got = list(pipe.iterate_batches(loader, bs, num_workers=2,
+                                    drop_last=True,
+                                    host_range=(0, bs // 2)))
+    assert len(got) == 1
+    assert got[0]["labels"].shape[0] == bs // 2
+    padded = list(pipe.iterate_batches(loader, bs, num_workers=2,
+                                       pad_last=True,
+                                       host_range=(0, bs // 2)))
+    assert len(padded) == 2
+    assert int(padded[-1]["num_valid"]) == 1   # global valid count

@@ -177,7 +177,9 @@ def test_gradient_accumulation_matches_full_batch(rng):
                                float(ref_m["grad_norm"]), atol=1e-5)
     for a, b in zip(jax.tree.leaves(acc_state.params),
                     jax.tree.leaves(ref_state.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        # the shard-aligned strided micro split reorders the fp summation
+        # vs the one-shot batch; agreement is to summation tolerance
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
 
 
 def test_gradient_accumulation_trains_end_to_end(tmp_path, rng):
