@@ -142,6 +142,40 @@ class Predictor:
             list(ex.map(stage_canvas, enumerate(images_bytes)))
         return canvases, boxes
 
+    def warmup(self, with_maps: bool = False) -> None:
+        """Pre-compile every bucket size so first requests don't pay
+        compile latency (zero-filled staged operands; no decode needed)."""
+        b = 1
+        sizes = []
+        while b < self.batch_size:
+            sizes.append(b)
+            b <<= 1
+        sizes.append(self.batch_size)
+        for b in sizes:
+            if self.placement == "host":
+                s = self.cfg.img_size
+                staged = (jnp.zeros((b, s, s), jnp.uint8),)
+            else:
+                boxes = np.zeros((b, 4), np.int32)
+                boxes[:, 2:] = 1
+                c = self.canvas_size
+                staged = (jnp.zeros((b, c, c), jnp.uint8),
+                          jnp.asarray(boxes))
+            fns = [self._forward_rollout] if with_maps else [self._forward]
+            for fn in fns:
+                np.asarray(fn(self.params, *staged)[0])
+
+    @staticmethod
+    def _bucket(valid: int, bs: int) -> int:
+        """Smallest power-of-two batch ≥ valid (clamped to bs): partial
+        chunks run a right-sized compiled program instead of paying the
+        full-batch forward — one cached executable per bucket, log2(bs)+1
+        buckets total."""
+        b = 1
+        while b < valid:
+            b <<= 1
+        return min(b, bs)
+
     def predict_bytes(self, images_bytes: Sequence[bytes],
                       with_maps: bool = False) -> PredictOutput:
         """Micro-batched inference over raw encoded images."""
@@ -151,9 +185,11 @@ class Predictor:
         for lo in range(0, n, bs):
             chunk = list(images_bytes[lo:lo + bs])
             valid = len(chunk)
-            # static-shape tail padding: zero rows, no redundant decode
+            # static-shape tail padding: zero rows, no redundant decode;
+            # padded up to the nearest power-of-two bucket, not full batch
             staged = tuple(jnp.asarray(a)
-                           for a in self._stage(chunk, bs - valid))
+                           for a in self._stage(
+                               chunk, self._bucket(valid, bs) - valid))
             if with_maps:
                 logits, probs, maps = self._forward_rollout(
                     self.params, *staged)

@@ -113,9 +113,14 @@ def main(argv: Optional[list] = None) -> int:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--placement", choices=("host", "device"), default="host",
+                    help="where crop/pad/resize runs (inference.Predictor)")
     ns = ap.parse_args(argv)
     predictor = Predictor.from_model_dir(ns.model_dir,
-                                         batch_size=ns.batch_size)
+                                         batch_size=ns.batch_size,
+                                         placement=ns.placement)
+    print("[server] warming up (compiling batch buckets)...", flush=True)
+    predictor.warmup()
     serve(predictor, ns.host, ns.port)
     return 0
 

@@ -303,3 +303,14 @@ def test_predictor_placements_agree(rng):
                       placement="device").predict_bytes(blobs)
     assert out_h.probs.shape == out_d.probs.shape == (3, 5)
     np.testing.assert_allclose(out_h.probs, out_d.probs, atol=0.05)
+
+
+def test_bucket_sizes():
+    """Partial chunks pad to the nearest power-of-two bucket, not the full
+    batch — bounded compile count, right-sized forwards."""
+    from chestxray_vit_tpu.serve.inference import Predictor
+    assert Predictor._bucket(1, 8) == 1
+    assert Predictor._bucket(2, 8) == 2
+    assert Predictor._bucket(3, 8) == 4
+    assert Predictor._bucket(8, 8) == 8
+    assert Predictor._bucket(5, 4) == 4     # never above batch_size

@@ -51,8 +51,9 @@ def main() -> None:
                      placement=placement)
     print(f"placement={placement}", flush=True)
 
-    # warmup/compile
+    # warmup/compile (all batch buckets)
     t0 = time.perf_counter()
+    pred.warmup()
     pred.predict_bytes([png] * batch_size)
     print(f"compile+warmup {time.perf_counter() - t0:.1f}s", flush=True)
 
