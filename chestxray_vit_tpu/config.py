@@ -261,6 +261,12 @@ class MeshConfig:
     fsdp: int = 1
     tensor: int = 1
     axis_names: Tuple[str, ...] = ("data", "fsdp", "tensor")
+    # number of TPU slices (multi-slice / Multislice training). > 1 adds a
+    # leading 'dcn' mesh axis carrying pure data parallelism across slices:
+    # the only cross-slice collective is the per-step gradient all-reduce,
+    # which is the DCN-friendly layout (fsdp/tensor stay within-slice, on
+    # ICI). 1 = single slice, no extra axis.
+    dcn_data: int = 1
 
 
 @dataclass

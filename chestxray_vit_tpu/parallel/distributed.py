@@ -72,7 +72,8 @@ def form_global_batch(mesh: Mesh, host_batch: Dict[str, np.ndarray]
     ``host_local_array_to_global_array`` so each host contributes its local
     slice of the data axis.
     """
-    spec = P(("data", "fsdp"))
+    from chestxray_vit_tpu.parallel.mesh import dp_axes
+    spec = P(dp_axes(mesh))
     if jax.process_count() == 1:
         sh = NamedSharding(mesh, spec)
         return {k: jax.device_put(v, sh) for k, v in host_batch.items()}
@@ -109,8 +110,9 @@ def gather_global_rows(mesh: Mesh, x) -> np.ndarray:
     if jax.process_count() == 1:
         return np.asarray(x)
     from jax.experimental import multihost_utils
+    from chestxray_vit_tpu.parallel.mesh import dp_axes
     local = multihost_utils.global_array_to_host_local_array(
-        x, mesh, P(("data", "fsdp")))  # positional pspecs arg
+        x, mesh, P(dp_axes(mesh)))  # positional pspecs arg
     return np.asarray(multihost_utils.process_allgather(local, tiled=True))
 
 

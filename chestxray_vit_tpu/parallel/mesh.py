@@ -22,28 +22,64 @@ from chestxray_vit_tpu.config import MeshConfig
 
 def build_mesh(cfg: Optional[MeshConfig] = None,
                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Construct the (data, fsdp, tensor) mesh.
+    """Construct the (data, fsdp, tensor) mesh — with a leading ``dcn``
+    axis when ``cfg.dcn_data > 1`` (multi-slice training over DCN).
 
     ``data = -1`` consumes all remaining devices. On a single chip this
     degenerates to a 1×1×1 mesh and the same step functions still compile —
     the single-device path the driver benches and the multi-device path are
     one code path.
+
+    Multi-slice layout: devices are grouped so that each slice owns one
+    index of the ``dcn`` axis and the ``data``/``fsdp``/``tensor`` axes lie
+    entirely within a slice (ICI). The batch is additionally split over
+    ``dcn``, so the only collective crossing the slow DCN fabric is the
+    per-step gradient all-reduce. On real multi-slice hardware the
+    grouping follows each device's ``slice_index``; on homogeneous device
+    sets (CPU test meshes) it falls back to order-based grouping.
     """
     cfg = cfg or MeshConfig()
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    dcn = max(cfg.dcn_data, 1)
     fixed = cfg.fsdp * cfg.tensor
-    data = cfg.data if cfg.data != -1 else n // fixed
-    if data * fixed != n:
+    data = cfg.data if cfg.data != -1 else n // (fixed * dcn)
+    if dcn * data * fixed != n:
         raise ValueError(
-            f"mesh {data}x{cfg.fsdp}x{cfg.tensor} != {n} devices")
-    arr = np.asarray(devices).reshape(data, cfg.fsdp, cfg.tensor)
-    return Mesh(arr, cfg.axis_names)
+            f"mesh {'%dx' % dcn if dcn > 1 else ''}{data}x{cfg.fsdp}"
+            f"x{cfg.tensor} != {n} devices")
+    if dcn == 1:
+        arr = np.asarray(devices).reshape(data, cfg.fsdp, cfg.tensor)
+        return Mesh(arr, cfg.axis_names)
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if None not in slice_ids and len(slice_ids) == dcn:
+        from jax.experimental import mesh_utils
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (data, cfg.fsdp, cfg.tensor), (dcn, 1, 1), devices=devices)
+        arr = np.asarray(arr).reshape(dcn, data, cfg.fsdp, cfg.tensor)
+    else:
+        arr = np.asarray(devices).reshape(dcn, data, cfg.fsdp, cfg.tensor)
+    return Mesh(arr, ("dcn",) + tuple(cfg.axis_names))
+
+
+def dp_axes(mesh: Mesh) -> tuple:
+    """Mesh axes the global batch is split over (in mesh order)."""
+    return tuple(a for a in ("dcn", "data", "fsdp")
+                 if a in mesh.axis_names)
+
+
+def dp_size(mesh: Mesh) -> int:
+    """Data-parallel world size: product of the batch-carrying axes."""
+    out = 1
+    for a in dp_axes(mesh):
+        out *= mesh.shape[a]
+    return out
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Global batch split along the data (and fsdp, when used) axes."""
-    return NamedSharding(mesh, P(("data", "fsdp")))
+    """Global batch split along the dcn (when present), data, and fsdp
+    axes."""
+    return NamedSharding(mesh, P(dp_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -106,4 +142,4 @@ def shard_batch(mesh: Mesh, batch):
 def local_batch_to_global(batch_size_per_core: int, mesh: Mesh) -> int:
     """BATCH_SIZE_PER_CORE × data-parallel world size, matching the
     reference's effective global batch (8 cores × 8 = 64, SURVEY §6)."""
-    return batch_size_per_core * mesh.shape["data"] * mesh.shape["fsdp"]
+    return batch_size_per_core * dp_size(mesh)

@@ -50,7 +50,7 @@ class PackedTrainer(Trainer):
                 "PackedTrainer is single-host (pack boundaries are "
                 "content-dependent); shard the dataset across hosts "
                 "externally or use the dense Trainer's multi-host path")
-        dp = self.mesh.shape["data"] * self.mesh.shape["fsdp"]
+        dp = mesh_lib.dp_size(self.mesh)
         if batch_seqs % dp:
             raise ValueError(f"batch_seqs={batch_seqs} not divisible by "
                              f"data-parallel world size {dp}")

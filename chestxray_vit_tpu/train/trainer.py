@@ -88,8 +88,7 @@ class Trainer:
             cfg.train.batch_size_per_core, self.mesh)
             * max(cfg.train.gradient_accumulation_steps, 1))
         self.eval_batch = (cfg.train.eval_batch_size
-                          * self.mesh.shape["data"]
-                          * self.mesh.shape["fsdp"])
+                          * mesh_lib.dp_size(self.mesh))
 
         self.steps_per_epoch = max(
             len(self.bundle.train) // self.global_batch, 1)

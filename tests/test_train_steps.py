@@ -205,3 +205,40 @@ def test_gradient_accumulation_trains_end_to_end(tmp_path, rng):
     metrics = tr.train()
     assert metrics["train_steps"] == 2
     tr.close()
+
+
+def test_dcn_multislice_mesh_matches_single_device(rng):
+    """dcn_data > 1 adds a leading 'dcn' mesh axis (multi-slice over DCN):
+    2 slices x (2 data x 2 fsdp) on the virtual 8-device mesh. The batch
+    splits over (dcn, data, fsdp) and one full train step matches the
+    single-device oracle — cross-slice grad all-reduce included."""
+    cfg = tiny_config()
+    mesh = mesh_lib.build_mesh(MeshConfig(data=2, fsdp=2, tensor=1,
+                                          dcn_data=2))
+    assert mesh.axis_names == ("dcn", "data", "fsdp", "tensor")
+    assert mesh.shape["dcn"] == 2
+    assert mesh_lib.dp_size(mesh) == 8
+    assert mesh_lib.local_batch_to_global(2, mesh) == 16
+
+    params = vit.init_params(jax.random.key(0), cfg.model)
+    state = S.TrainState.create(params, seed=0)
+    batch = make_batch(rng, 16, cfg)
+
+    ref_state, ref_m = jax.jit(S.make_train_step(cfg, total_steps=100))(
+        jax.tree.map(lambda x: x, state), batch)
+
+    step = S.jit_train_step(S.make_train_step(cfg, total_steps=100),
+                            mesh, state)
+    new_state, m = step(S.place_state(state, mesh),
+                        mesh_lib.shard_batch(mesh, batch))
+    np.testing.assert_allclose(float(m["loss"]), float(ref_m["loss"]),
+                               atol=1e-5)
+    for a, b in zip(jax.tree.leaves(new_state.params),
+                    jax.tree.leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_dcn_mesh_device_count_mismatch():
+    with pytest.raises(ValueError, match="devices"):
+        mesh_lib.build_mesh(MeshConfig(data=8, fsdp=1, tensor=1,
+                                       dcn_data=2))
