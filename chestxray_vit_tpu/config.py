@@ -177,18 +177,44 @@ class ModelConfig:
         return self.hidden_size // self.num_heads
 
 
+# The standard ViT family (An Image is Worth 16x16 Words, Table 1, plus the
+# Ti/S additions from the DeiT/AugReg line): name → (hidden, layers, heads,
+# mlp, patch, HF checkpoint when an official @384 one exists). The reference
+# uses only B/16 (pyc L76); the rest widen the same from-scratch model.
+VIT_VARIANTS = {
+    "vit_ti16": (192, 12, 3, 768, 16, None),
+    "vit_s16": (384, 12, 6, 1536, 16, None),
+    "vit_b16": (768, 12, 12, 3072, 16, "google/vit-base-patch16-384"),
+    "vit_b32": (768, 12, 12, 3072, 32, "google/vit-base-patch32-384"),
+    "vit_l16": (1024, 24, 16, 4096, 16, "google/vit-large-patch16-384"),
+    "vit_h14": (1280, 32, 16, 5120, 14, "google/vit-huge-patch14-224-in21k"),
+}
+
+
+def vit_variant_config(variant: str, img_size: int = 384,
+                       num_classes: int = 15) -> ModelConfig:
+    """ModelConfig for a named ViT variant (``VIT_VARIANTS`` keys); L/H
+    default to remat (gradient checkpointing)."""
+    if variant not in VIT_VARIANTS:
+        raise KeyError(f"unknown variant {variant!r}; "
+                       f"one of {sorted(VIT_VARIANTS)}")
+    hidden, layers, heads, mlp, patch, hf_name = VIT_VARIANTS[variant]
+    return ModelConfig(
+        model_name=hf_name or f"scratch/{variant}",
+        img_size=img_size,
+        patch_size=patch,
+        hidden_size=hidden,
+        num_layers=layers,
+        num_heads=heads,
+        mlp_dim=mlp,
+        num_classes=num_classes,
+        remat=hidden >= 1024,
+    )
+
+
 def vit_large_config(img_size: int = 384, num_classes: int = 15) -> ModelConfig:
     """ViT-L/16 (BASELINE.json configs[2])."""
-    return ModelConfig(
-        model_name="google/vit-large-patch16-384",
-        img_size=img_size,
-        hidden_size=1024,
-        num_layers=24,
-        num_heads=16,
-        mlp_dim=4096,
-        num_classes=num_classes,
-        remat=True,
-    )
+    return vit_variant_config("vit_l16", img_size, num_classes)
 
 
 @dataclass
@@ -384,6 +410,9 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> Config:
     """CLI: ``--preset version_b --set train.learning_rate=3e-4 ...``"""
     ap = argparse.ArgumentParser(prog="chestxray_vit_tpu")
     ap.add_argument("--preset", default="default", choices=sorted(_PRESETS))
+    ap.add_argument("--model", default=None, choices=sorted(VIT_VARIANTS),
+                    help="swap the model family variant (keeps img_size "
+                         "and num_classes from the preset)")
     ap.add_argument("--config", default=None, help="path to a JSON config")
     ap.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                     help="override, e.g. --set train.learning_rate=1e-4")
@@ -393,6 +422,9 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> Config:
             cfg = Config.from_json(f.read())
     else:
         cfg = _PRESETS[ns.preset]()
+    if ns.model:
+        cfg.model = vit_variant_config(ns.model, cfg.model.img_size,
+                                       cfg.model.num_classes)
     for kv in ns.set:
         key, _, value = kv.partition("=")
         _set_by_path(cfg, key.strip(), value.strip())

@@ -79,3 +79,57 @@ def test_use_subset_none_via_cli():
 def test_cli_tuple_field():
     cfg = parse_cli(["--set", "train.profile_steps=[100, 200]"])
     assert cfg.train.profile_steps == (100, 200)
+
+
+def test_vit_variants_table():
+    """The standard ViT family: dims are internally consistent and each
+    variant builds a forwardable config."""
+    from chestxray_vit_tpu.config import VIT_VARIANTS, vit_variant_config
+    import pytest as _pytest
+    for name in VIT_VARIANTS:
+        m = vit_variant_config(name, img_size=32, num_classes=5)
+        assert m.hidden_size % m.num_heads == 0, name
+        assert m.mlp_dim == 4 * m.hidden_size, name
+    assert vit_variant_config("vit_l16").remat
+    assert not vit_variant_config("vit_b16").remat
+    assert (vit_variant_config("vit_b16").model_name
+            == "google/vit-base-patch16-384")
+    with _pytest.raises(KeyError, match="unknown variant"):
+        vit_variant_config("vit_g14")
+
+
+def test_cli_model_variant_flag():
+    from chestxray_vit_tpu.config import parse_cli
+    cfg = parse_cli(["--model", "vit_s16", "--set", "model.img_size=224"])
+    assert cfg.model.hidden_size == 384
+    assert cfg.model.num_layers == 12
+    assert cfg.model.num_heads == 6
+    assert cfg.model.img_size == 224          # --set applies after --model
+    assert cfg.model.num_classes == 15        # preserved from preset
+
+
+def test_variant_forward_tiny():
+    """A non-default family member actually trains a step (Ti at 32px)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    import dataclasses
+    from chestxray_vit_tpu.config import (Config, TrainConfig,
+                                          vit_variant_config)
+    from chestxray_vit_tpu.models import vit
+    from chestxray_vit_tpu.train import steps as S
+    m = dataclasses.replace(
+        vit_variant_config("vit_ti16", img_size=32, num_classes=5),
+        dtype="float32", attention_impl="xla", num_layers=2)
+    cfg = Config(model=m, train=TrainConfig(batch_size_per_core=2))
+    params = vit.init_params(jax.random.key(0), m)
+    state = S.TrainState.create(params, seed=0)
+    step = jax.jit(S.make_train_step(cfg, total_steps=10))
+    rng = np.random.default_rng(0)
+    batch = {
+        "pixel_values": jnp.asarray(
+            rng.standard_normal((4, 32, 32, 3)), jnp.float32),
+        "labels": jnp.asarray((rng.random((4, 5)) < 0.3), jnp.float32),
+    }
+    state, met = step(state, batch)
+    assert np.isfinite(float(met["loss"]))
