@@ -118,7 +118,8 @@ class Predictor:
                 # decode + crop/pad/resize both run in the C++ stage outside
                 # the GIL, so request staging parallelizes across cores
                 i, data = i_data
-                gray = dec.safe_decode_gray(data, dummy_size=(c, c))
+                gray = (data if isinstance(data, np.ndarray)
+                        else dec.safe_decode_gray(data, dummy_size=(c, c)))
                 h, w = gray.shape
                 from chestxray_vit_tpu.data.pipeline import host_resize
                 pixels[i] = host_resize(gray, geo.full_image_box(w, h), s)
@@ -132,7 +133,8 @@ class Predictor:
 
         def stage_canvas(i_data):
             i, data = i_data
-            gray = dec.safe_decode_gray(data, dummy_size=(c, c))
+            gray = (data if isinstance(data, np.ndarray)
+                    else dec.safe_decode_gray(data, dummy_size=(c, c)))
             h, w = min(gray.shape[0], c), min(gray.shape[1], c)
             canvases[i, :h, :w] = gray[:h, :w]
             box = geo.full_image_box(w, h)
@@ -205,16 +207,12 @@ class Predictor:
             maps=np.concatenate(maps_out) if maps_out else None,
         )
 
-    def predict_arrays(self, grays: Sequence[np.ndarray]) -> PredictOutput:
-        """Inference over already-decoded u8 grayscale arrays."""
-        import io
-        from PIL import Image
-        blobs = []
-        for g in grays:
-            buf = io.BytesIO()
-            Image.fromarray(g, "L").save(buf, format="PNG")
-            blobs.append(buf.getvalue())
-        return self.predict_bytes(blobs)
+    def predict_arrays(self, grays: Sequence[np.ndarray],
+                       with_maps: bool = False) -> PredictOutput:
+        """Inference over already-decoded u8 grayscale arrays — same
+        staging/bucketing as ``predict_bytes``, skipping the decode."""
+        return self.predict_bytes([np.asarray(g, np.uint8) for g in grays],
+                                  with_maps=with_maps)
 
     def top_findings(self, probs_row: np.ndarray, k: int = 5
                      ) -> List[Dict[str, float]]:
