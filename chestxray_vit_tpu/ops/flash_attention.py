@@ -13,10 +13,15 @@ Design notes (ViT sequence lengths are short — 577 @384, 1025 @512):
   softmax per Q block — no online-softmax rescaling passes needed. This is
   the blocked/windowed variant that BASELINE.json configs[4] calls for.
 - Non-power-of-two token counts (SURVEY.md §7 hard part 2) are handled by
-  zero-padding algebra, not masking passes: K/V pad to the 128-lane score
-  dim with zeros (pad scores = 0 stay under the running max and a masked
-  ones-column normalizer on the MXU excludes them exactly); Q pads only to
-  the sublane tile (577 → 592, not 640).
+  zero-padded K/V plus a single fused −1e6 bias on the pad columns (the
+  same bound the segment kernel uses): the bias rides the score tile
+  before the max, so the softmax max is anchored to the VALID columns
+  (never to the zero pad scores — without the bias, a row whose valid
+  scores are all ≲ −87·√d underflows exp2 against the pad max of 0 and
+  the output turns NaN), and c·(−1e6) underflows exp2 to exactly zero, so
+  pad columns vanish from l, o, and every gradient. A masked ones-column
+  normalizer on the MXU doubles as the l reduction. Q pads only to the
+  sublane tile (577 → 592, not 640).
 - The softmax is VPU-lean — three full passes over the score tile: max,
   fused (s−m)·scale·log2e → exp2 (bf16 lanes on the training path), and
   the MXU normalizer contraction. Scores/accumulation stay f32 on the MXU.
@@ -158,13 +163,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
     # and letting the VPU softmax chain vectorize across the sublane dim.
     #
     # VPU-lean softmax (the kernel is VPU-bound, not MXU-bound, at ViT
-    # head_dim): exactly THREE full passes over the [bb, bq, S] score tile —
-    # max-reduce, fused (s-m)*c → exp2 → bf16 cast, and a masked sum-reduce.
-    # No scale pass (folded into the exp2 argument), no -inf masking pass:
-    # zero-padded K columns yield s = 0, which the running max keeps finite
-    # (m ≥ 0 cancels exactly in p/l), and the [1, S] pad mask multiplies the
-    # sum instead of biasing the scores. Padded V rows are zero, so padded
-    # columns never touch the output.
+    # head_dim): THREE full passes over the [bb, bq, S] score tile —
+    # max-reduce, fused (s-m)*c → exp2 → bf16 cast, and a masked sum-reduce
+    # — plus one fused multiply-add biasing the pad columns by -1e6. The
+    # bias anchors m to the VALID max (zero pad scores must never win the
+    # max: a row whose valid scores are all strongly negative would
+    # otherwise underflow exp2 against m = 0 and produce l = 0 → o = NaN)
+    # and makes pad p underflow exp2 to exactly zero. No scale pass (folded
+    # into the exp2 argument). Padded V rows are zero, so padded columns
+    # never touch the output.
     q = q_ref[...]                                 # [bb, Q_pad, d]
     k = k_ref[...]                                 # [bb, S_pad, d]
     v = v_ref[...]                                 # [bb, S_pad, d]
@@ -173,10 +180,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *,
         q, k, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )                                              # [bb, bq, S_pad], UNscaled
+    # [S_pad, 1] ones/zeros mask → 0 on valid, -1e6 on pad columns
+    s = s + (mask_ref[...].reshape(1, 1, -1) - 1.0) * 1e6
 
-    # m ≥ 0 automatically when padded (pad columns contribute s = 0);
-    # any m ≥ max(valid s) keeps the exp2 in range and cancels exactly
-    m = jnp.max(s, axis=-1, keepdims=True)         # [bb, bq, 1]
+    m = jnp.max(s, axis=-1, keepdims=True)         # [bb, bq, 1] valid max
     c = sm_scale * _LOG2E
     arg = (s - m) * c
     if q.dtype == jnp.bfloat16:
@@ -279,7 +286,7 @@ def _fwd(q: jax.Array, k: jax.Array, v: jax.Array, seq_len: int,
 # Backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, mask_ref,
                 dq_ref, dk_ref, dv_ref, *, sm_scale: float,
                 accumulate: bool):
     qi = pl.program_id(1)
@@ -292,17 +299,21 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
     lse = lse_ref[...]                             # [bb, bq, 1] f32
 
     # VPU-lean backward: TWO full passes over the [bb, bq, S] tile — the
-    # fused exp2 recompute of P, and the fused P·(dP−Δ) chain. No masking
-    # passes: zero-padded dO rows kill pad-Q contributions, zero-padded V
-    # rows zero dP's pad columns, zero-padded K rows zero pad columns'
-    # dQ contributions, and pad rows of dK/dV are sliced off by the caller.
-    # The softmax scale is applied to the small dQ/dK outputs by the
-    # wrapper, not to the S²-sized dS.
+    # fused exp2 recompute of P, and the fused P·(dP−Δ) chain — plus the
+    # same fused -1e6 pad-column bias as the forward (it must mirror the
+    # forward's masking: with lse anchored to the valid max, an unmasked
+    # pad column's p = exp(0 − lse) can overflow to inf and NaN the dS
+    # chain when the valid scores are strongly negative; biased, pad p
+    # underflows exp2 to exactly zero and every pad contribution vanishes).
+    # Zero-padded dO rows kill pad-Q contributions, and pad rows of dK/dV
+    # are sliced off by the caller. The softmax scale is applied to the
+    # small dQ/dK outputs by the wrapper, not to the S²-sized dS.
     bdims = ((0,), (0,))
     s = jax.lax.dot_general(
         q, k, (((2,), (2,)), bdims),
         preferred_element_type=jnp.float32,
     )                                              # [bb, bq, S_pad], UNscaled
+    s = s + (mask_ref[...].reshape(1, 1, -1) - 1.0) * 1e6
     c = sm_scale * _LOG2E
     arg = s * c - lse * _LOG2E
     if q.dtype == jnp.bfloat16:
@@ -354,7 +365,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         dv_ref[...] = dv_part.astype(dv_ref.dtype)
 
 
-def _bwd(q, k, v, do, o, lse, sm_scale: float, block_q: int,
+def _bwd(q, k, v, do, o, lse, seq_len: int, sm_scale: float, block_q: int,
          block_bh: int):
     bh, q_pad, d = q.shape
     s_pad = k.shape[1]
@@ -377,6 +388,8 @@ def _bwd(q, k, v, do, o, lse, sm_scale: float, block_q: int,
         grid=grid,
         in_specs=[qspec, kvspec, kvspec, qspec, qspec,
                   pl.BlockSpec((bb, block_q, 1), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((s_pad, 1), lambda b, i: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[qspec, kvspec, kvspec],
         out_shape=[
@@ -393,7 +406,7 @@ def _bwd(q, k, v, do, o, lse, sm_scale: float, block_q: int,
             transcendentals=bh * q_pad * s_pad,
         ),
         interpret=_interpret(),
-    )(q, k, v, do, o, lse)
+    )(q, k, v, do, o, lse, _pad_mask(seq_len, s_pad))
     return dq, dk.astype(q.dtype), dv.astype(q.dtype)
 
 
@@ -606,7 +619,7 @@ def _flash_bwd_rule(sm_scale, block_q, block_bh, res, g):
     scale = sm_scale if sm_scale is not None else 1.0 / (d ** 0.5)
     _, bq = _q_blocking(s, block_q)
     gp = _prep(g.astype(qp.dtype), qp.shape[1])
-    dq, dk, dv = _bwd(qp, kp, vp, gp, out, lse, scale, bq, block_bh)
+    dq, dk, dv = _bwd(qp, kp, vp, gp, out, lse, s, scale, bq, block_bh)
     unprep = lambda x: x[:, :s, :].reshape(b, h, s, d)
     return unprep(dq), unprep(dk), unprep(dv)
 

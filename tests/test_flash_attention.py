@@ -107,3 +107,37 @@ def test_jit_and_grad_under_jit(rng):
 
     out = f(q, k, v)
     assert out.shape == q.shape and bool(jnp.isfinite(out).all())
+
+
+def test_strongly_negative_scores_with_padding(rng):
+    """Regression: when every VALID score in a row is strongly negative,
+    the zero-padded K columns must not win the softmax max — without the
+    fused -1e6 pad bias, m = 0 made all valid p underflow (l = 0 → NaN
+    output) while the XLA oracle stayed finite. Covers fwd AND bwd (an
+    unmasked bwd pad column's p = exp(-lse) overflows once lse is anchored
+    to the valid max)."""
+    s, d = 130, 8                 # 130 → S_pad 256: real pad columns
+    q = jnp.full((1, 1, s, d), 10.0, jnp.float32)
+    k = jnp.full((1, 1, s, d), -10.0, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 1, s, d)), jnp.float32)
+
+    out = flash_attention(q, k, v)
+    ref = attention_xla(q, k, v)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (attention_xla(q, k, v) ** 2).sum()
+
+    # perturb q so scores aren't perfectly uniform (grads non-trivial)
+    q = q + jnp.asarray(rng.standard_normal(q.shape) * 0.1, jnp.float32)
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
