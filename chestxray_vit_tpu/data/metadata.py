@@ -199,6 +199,12 @@ def parse_data_entry_csv(text: str) -> Tuple[List[DataEntry], List[str]]:
             finding_labels=normalized,
             label_list=labels_to_list(normalized),
         ))
+    if not entries:
+        # build_vocabulary force-includes 'No Finding', so the zero-class
+        # check below can never fire on its own — an empty/header-only CSV
+        # must fail HERE (the reference's fatal metadata guard, pyc
+        # L174-L176), not much later as a confusing 'zero full batches'
+        raise ValueError("Data_Entry CSV contains no data rows")
     vocab = build_vocabulary([e.finding_labels for e in entries])
     if not vocab:
         raise ValueError("derived zero classes from Data_Entry CSV")

@@ -185,6 +185,13 @@ def iterate_packed_batches(
             submit()
             tokens, pos, lab = fut.result()
             m = tokens.shape[0]
+            if m > seq_len:
+                # same guard as pack_images: without it the close-and-retry
+                # below emits an empty pack and assemble crashes with an
+                # opaque broadcast error mid-epoch
+                raise ValueError(
+                    f"an image needs {m} tokens > seq_len {seq_len}; "
+                    f"raise seq_len or use smaller grids")
             if used + m > seq_len or len(current) >= cap:
                 closed.append(current)
                 current, used = [], 0

@@ -37,8 +37,7 @@ def _auroc_single(scores: jax.Array, labels: jax.Array) -> jax.Array:
     scores = scores.astype(jnp.float32)
     labels = labels.astype(jnp.float32)
     n = scores.shape[0]
-    order = jnp.argsort(scores)
-    sorted_scores = scores[order]
+    sorted_scores = jnp.sort(scores)
     # midranks via binary search over the sorted copy: for score s,
     # rank = (left_index + right_index + 1) / 2 + 0.5  (1-based average)
     lo = jnp.searchsorted(sorted_scores, scores, side="left")
@@ -116,8 +115,11 @@ def compute_metrics(logits: np.ndarray | jax.Array,
     logits = jnp.asarray(logits)
     labels = jnp.asarray(labels)
     per_class = np.asarray(auroc_per_class(logits, labels))
+    # mean over valid classes on host from the already-computed per-class
+    # array (running avg_auroc too would re-sort the whole [N, C] matrix)
+    valid = ~np.isnan(per_class)
     out: Dict[str, float] = {
-        "avg_auroc": float(np.asarray(avg_auroc(logits, labels))),
+        "avg_auroc": float(per_class[valid].mean()) if valid.any() else 0.0,
         "f1_micro": float(np.asarray(f1_micro(logits, labels))),
     }
     if class_names is not None:
@@ -136,12 +138,22 @@ def classification_report(logits: np.ndarray, labels: np.ndarray,
     """sklearn-style multilabel classification report text
     (ViT-Training.py:145-148 writes this to final_classification_report.txt).
     Rows: per-class precision/recall/f1/support; footer: micro, macro,
-    weighted and samples averages."""
-    p, r, f1, sup = (np.asarray(x) for x in precision_recall_f1_per_class(
-        jnp.asarray(logits), jnp.asarray(labels), threshold))
+    weighted and samples averages. One prediction array (f64 sigmoid on
+    host, like sklearn's caller-side thresholding) feeds every row — mixing
+    the jitted f32 sigmoid for per-class rows with f64 for the footer can
+    disagree on boundary logits and print an internally inconsistent
+    report."""
     probs = 1.0 / (1.0 + np.exp(-np.asarray(logits, dtype=np.float64)))
     pred = (probs >= threshold).astype(np.int64)
     lab = np.asarray(labels).astype(np.int64)
+    tp_c = (pred * lab).sum(0).astype(np.float64)
+    fp_c = (pred * (1 - lab)).sum(0).astype(np.float64)
+    fn_c = ((1 - pred) * lab).sum(0).astype(np.float64)
+    safe = lambda num, den: np.where(den > 0, num / np.maximum(den, 1), 0.0)
+    p = safe(tp_c, tp_c + fp_c)
+    r = safe(tp_c, tp_c + fn_c)
+    f1 = np.where(p + r > 0, 2 * p * r / np.maximum(p + r, 1e-12), 0.0)
+    sup = lab.sum(0)
 
     name_w = max(len(n) for n in class_names)
     width = max(name_w, len("weighted avg"))

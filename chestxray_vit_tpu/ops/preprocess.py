@@ -62,6 +62,9 @@ def _gather_axis(canvas: jax.Array, start: jax.Array, offset: jax.Array,
     n = canvas.shape[axis]
     idx = jnp.arange(n) - offset + start
     valid = (jnp.arange(n) >= offset) & (jnp.arange(n) < offset + extent)
+    # a box reaching past the canvas must yield black padding like the PIL
+    # reference, not edge-replicated rows from the take()'s index clamp
+    valid &= (idx >= 0) & (idx < n)
     idx = jnp.clip(idx, 0, n - 1)
     out = jnp.take(canvas, idx, axis=axis)
     shape = [1, 1]

@@ -55,15 +55,42 @@ class CheckpointManager:
         self.directory = os.path.abspath(os.path.expanduser(directory)) \
             if "://" not in directory else directory
         self.metric_for_best = metric_for_best
-        options = ocp.CheckpointManagerOptions(
-            max_to_keep=save_total_limit,
-            best_fn=(lambda m: m[self.metric_for_best])
-            if metric_for_best else None,
-            best_mode="max" if greater_is_better else "min",
-            keep_checkpoints_without_metrics=True,
-            enable_async_checkpointing=True,
-            create=True,
-        )
+        if metric_for_best:
+            # a save's metrics dict can legitimately lack the key (eval not
+            # run at that step, or the value was NaN and got cleaned) — the
+            # ranking fn must degrade to worst-possible, never KeyError
+            # inside Orbax's async retention sweep
+            sentinel = float("-inf") if greater_is_better else float("inf")
+            best_fn = lambda m: float(m.get(metric_for_best, sentinel))
+            # Orbax's DEFAULT policy when best_fn is set is BestN alone:
+            # the latest checkpoint is NOT preserved (a freshly written
+            # non-best save is deleted immediately, so a crash rolls
+            # resume back to an older best), and with
+            # keep_checkpoints_without_metrics=True every metrics-less
+            # save is kept forever (unbounded when the save cadence is not
+            # aligned with eval). Explicit policy: always the latest, plus
+            # the save_total_limit best among metric-bearing saves.
+            from orbax.checkpoint.checkpoint_managers import (
+                preservation_policy as _pp)
+            options = ocp.CheckpointManagerOptions(
+                best_fn=best_fn,
+                best_mode="max" if greater_is_better else "min",
+                preservation_policy=_pp.AnyPreservationPolicy([
+                    _pp.LatestN(n=1),
+                    _pp.BestN(get_metric_fn=best_fn,
+                              reverse=not greater_is_better,
+                              n=save_total_limit,
+                              keep_checkpoints_without_metrics=False),
+                ]),
+                enable_async_checkpointing=True,
+                create=True,
+            )
+        else:
+            options = ocp.CheckpointManagerOptions(
+                max_to_keep=save_total_limit,
+                enable_async_checkpointing=True,
+                create=True,
+            )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
     # -- save ---------------------------------------------------------------

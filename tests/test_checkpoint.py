@@ -79,3 +79,55 @@ def test_save_model_load_model(tmp_path):
     assert classes == ["A", "B"]
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_best_retention_preserves_latest(tmp_path):
+    """Regression: Orbax's default BestN-only policy deleted a freshly
+    written non-best checkpoint immediately, so a crash rolled resume back
+    to an older best. Retention must keep the latest PLUS the best N."""
+    state, _ = _tiny_state()
+    mgr = C.CheckpointManager(str(tmp_path / "ck"), save_total_limit=2,
+                              metric_for_best="avg_auroc")
+    for step, auc in [(1, 0.80), (2, 0.84), (3, 0.83), (4, 0.82)]:
+        mgr.save(step, state, metrics={"avg_auroc": auc})
+        mgr.wait()
+    kept = set(mgr.all_steps())
+    assert 4 in kept, "latest checkpoint must survive retention"
+    assert mgr.latest_step() == 4
+    assert {2, 3} <= kept                # the two best by avg_auroc
+    assert mgr.best_step() == 2
+    mgr.close()
+
+
+def test_metricless_saves_stay_bounded(tmp_path):
+    """Regression: with best tracking on but metrics absent (save cadence
+    not aligned with eval), keep_checkpoints_without_metrics=True kept
+    every checkpoint forever. Metrics-less saves must be bounded."""
+    state, _ = _tiny_state()
+    mgr = C.CheckpointManager(str(tmp_path / "ck"), save_total_limit=2,
+                              metric_for_best="avg_auroc")
+    for step in range(1, 7):
+        mgr.save(step, state)            # no metrics at all
+        mgr.wait()
+    assert len(list(mgr.all_steps())) <= 2
+    assert mgr.latest_step() == 6
+    mgr.close()
+
+
+def test_metrics_missing_best_key_is_safe(tmp_path):
+    """A metrics dict lacking metric_for_best (e.g. its value was NaN and
+    got cleaned) must rank as worst, not KeyError inside retention."""
+    state, _ = _tiny_state()
+    mgr = C.CheckpointManager(str(tmp_path / "ck"), save_total_limit=2,
+                              metric_for_best="avg_auroc")
+    mgr.save(1, state, metrics={"avg_auroc": 0.9})
+    mgr.wait()
+    for step in (2, 3, 4):
+        mgr.save(step, state, metrics={"eval_loss": 0.5,
+                                       "avg_auroc": float("nan")})
+        mgr.wait()
+    kept = set(mgr.all_steps())
+    assert 1 in kept                      # the only real best survives
+    assert mgr.best_step() == 1
+    assert mgr.latest_step() == 4
+    mgr.close()

@@ -205,3 +205,10 @@ def test_build_dataset_index_filtering_subset_and_labels():
     # first-bbox-only lookup (pyc L290-L291)
     assert idx.bbox_for("img1.png").label == "Atelectasis"
     assert idx.bbox_for("a.png") is None
+
+
+def test_parse_data_entry_raises_on_header_only():
+    """build_vocabulary force-includes 'No Finding', so an empty CSV must
+    fail on the zero-rows guard, not slip through as a 1-class dataset."""
+    with pytest.raises(ValueError, match="no data rows"):
+        md.parse_data_entry_csv("Image Index,Finding Labels\n")

@@ -187,3 +187,19 @@ def test_packed_steps_per_epoch_is_measured(tmp_path):
     # uniform resolutions -> the census simulation is exact
     assert tr.steps_per_epoch == real
     tr.close()
+
+
+def test_streaming_packer_rejects_oversized_image(fake_varres):
+    """iterate_packed_batches must fail fast (like pack_images) when one
+    image needs more tokens than seq_len — not emit an empty pack and
+    crash assemble with a broadcast error."""
+    from chestxray_vit_tpu.data import packing as pk
+    from chestxray_vit_tpu.data.pipeline import build_datasets
+    from chestxray_vit_tpu.config import DataConfig
+    bundle = build_datasets(DataConfig(backend="memory"),
+                            store=fake_varres.store)
+    with pytest.raises(ValueError, match="tokens > seq_len"):
+        list(pk.iterate_packed_batches(
+            bundle.train, bundle.blob_map, fake_varres.store,
+            batch_seqs=2, patch=16, seq_len=8, grids=GRIDS,
+            epoch=0, shuffle=False, num_workers=2))

@@ -179,3 +179,18 @@ def test_normalize_u8_matches_hf_processor_math(rng):
     ref = (img[..., None].astype(np.float32) / 255.0
            - np.asarray(VIT_MEAN, np.float32)) / np.asarray(VIT_STD, np.float32)
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_fused_preprocess_out_of_canvas_box_pads_black(rng):
+    """A crop box reaching past the canvas must produce black padding like
+    the PIL reference, not edge-replicated rows from the gather clamp."""
+    c = 64
+    canvas = np.full((c, c), 200, np.uint8)
+    # box taller than the canvas: bottom half is out of range
+    boxes = np.asarray([[0, 32, 64, 64]], np.int32)    # top=32, h=64 -> 96>64
+    out = fused_preprocess(jnp.asarray(canvas[None]), jnp.asarray(boxes),
+                           out_size=64)
+    img = _denorm(out[0])[..., 0]
+    # valid rows (top half) carry the canvas value; out-of-range rows are 0
+    assert img[:16].mean() > 0.5
+    assert np.allclose(img[40:], 0.0, atol=1e-6)
