@@ -176,6 +176,20 @@ class ModelConfig:
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads
 
+    def __post_init__(self):
+        # fail at construction, not deep inside jit tracing: e.g. --model
+        # vit_h14 with a 384-px preset (384 % 14 != 0) used to crash in
+        # patchify's reshape with an opaque size-mismatch error
+        if self.img_size % self.patch_size:
+            raise ValueError(
+                f"img_size {self.img_size} is not a multiple of patch_size "
+                f"{self.patch_size} — patchify cannot tile the image (e.g. "
+                f"patch 14 needs img_size 224/392/448; set model.img_size)")
+        if self.hidden_size % self.num_heads:
+            raise ValueError(
+                f"hidden_size {self.hidden_size} is not divisible by "
+                f"num_heads {self.num_heads}")
+
 
 # The standard ViT family (An Image is Worth 16x16 Words, Table 1, plus the
 # Ti/S additions from the DeiT/AugReg line): name → (hidden, layers, heads,

@@ -95,6 +95,13 @@ def decode_gray_pil(data: bytes) -> np.ndarray:
     """PIL engine: any format PIL reads → u8 grayscale [H, W]."""
     from PIL import Image
     with Image.open(io.BytesIO(data)) as img:
+        if img.mode in ("I", "I;16", "I;16L", "I;16B"):
+            # 16-bit grayscale: PIL's convert('L') CLAMPS raw values at 255
+            # (Pillow >= 9), which is neither a luminance map nor what the
+            # native engine does — take the high byte instead, matching
+            # libpng's png_set_strip_16 so both engines stay pixel-exact
+            arr = np.asarray(img, dtype=np.uint32)
+            return (arr >> 8).astype(np.uint8)
         return np.asarray(img.convert("L"), dtype=np.uint8)
 
 

@@ -55,6 +55,14 @@ class HFDatasetAdapter:
             if len(raw) and isinstance(raw[0], str):
                 return self._binarizer.transform([list(raw)])[0].astype(
                     np.float32)
+            arr = np.asarray(raw)
+            if (arr.size == len(self.classes) and arr.size > 1
+                    and np.isin(arr, (0, 1)).all()):
+                # a length-num_classes 0/1 vector is a multi-hot row (the
+                # standard multilabel encoding), NOT a list of class
+                # indices — treating [1,0,1,...] as indices would light
+                # out[0]/out[1] for every sample and train on garbage
+                return arr.astype(np.float32)
             out = np.zeros(len(self.classes), np.float32)
             for idx in raw:
                 out[int(idx)] = 1.0
@@ -117,11 +125,8 @@ def split_hf_dataset(dataset, seed: int = 42):
     row order to ``datasets.Dataset.train_test_split(seed=...)`` (PCG64
     permutation), so splits line up sample-for-sample with a
     reference-trained run."""
-    n = len(dataset)
-    from chestxray_vit_tpu.data.metadata import datasets_train_test_split
-    idx = list(range(n))
-    train_idx, held = datasets_train_test_split(idx, 0.2, seed)
-    val_idx, test_idx = datasets_train_test_split(held, 0.5, seed)
+    from chestxray_vit_tpu.data.metadata import split_80_10_10
+    train_idx, val_idx, test_idx = split_80_10_10(range(len(dataset)), seed)
     return (dataset.select(train_idx), dataset.select(val_idx),
             dataset.select(test_idx))
 
@@ -152,7 +157,14 @@ def load_hf_dataset(name: str, img_size: int = 384,
     from chestxray_vit_tpu.parallel import distributed as dist
 
     if dist.is_primary():
-        ds = hfd.load_dataset(name)
+        try:
+            ds = hfd.load_dataset(name)
+        except BaseException:
+            # release the waiters before dying — otherwise every
+            # non-primary process blocks in the collective forever while
+            # the primary's exception kills only its own process
+            dist.barrier("download_only_once")
+            raise
         dist.barrier("download_only_once")
     else:
         dist.barrier("download_only_once")      # wait for the master's pull

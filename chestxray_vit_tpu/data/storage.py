@@ -12,7 +12,6 @@ fake GCS store standing in for the bucket layout).
 from __future__ import annotations
 
 import os
-import threading
 from typing import Dict, Iterable, List, Optional, Protocol
 
 from chestxray_vit_tpu.config import DataConfig
@@ -76,17 +75,27 @@ class GCSStore:
     """google-cloud-storage backend with one shared client.
 
     Unlike the reference (client per __getitem__, pyc L272), one client and
-    bucket handle serve all threads; the underlying HTTP session pools
-    connections. ``get`` is thread-safe.
+    bucket handle serve all threads (the google-cloud client is documented
+    thread-safe for reads; the underlying HTTP session pools connections).
     """
 
     def __init__(self, bucket_name: str, project: Optional[str] = None):
         from google.cloud import storage  # deferred: not needed off-GCS
 
-        self._client = storage.Client(project=project) if project \
-            else storage.Client.create_anonymous_client()
+        if project:
+            self._client = storage.Client(project=project)
+        else:
+            # no project configured: prefer Application Default Credentials
+            # (project inferred from the environment) — falling straight to
+            # an anonymous client would 401/403 every call against private
+            # buckets even when the user HAS working credentials, and the
+            # pipeline would then silently train on black dummy images
+            try:
+                self._client = storage.Client()
+            except Exception:                            # noqa: BLE001
+                # no ADC available: public-bucket access still works
+                self._client = storage.Client.create_anonymous_client()
         self._bucket = self._client.bucket(bucket_name)
-        self._lock = threading.Lock()
 
     def get(self, name: str) -> bytes:
         return self._bucket.blob(name).download_as_bytes()
@@ -115,16 +124,27 @@ class RetryingStore:
         self.retries = retries
         self.base_delay = base_delay
 
+    @staticmethod
+    def _is_permanent(e: Exception) -> bool:
+        """Missing blobs are not transient — KeyError/FileNotFoundError for
+        the local/memory backends, google.api_core NotFound (plain Exception
+        subclass, HTTP 404) for the GCS backend."""
+        if isinstance(e, (KeyError, FileNotFoundError)):
+            return True
+        try:
+            from google.api_core import exceptions as gexc
+        except ImportError:
+            return False
+        return isinstance(e, gexc.NotFound)
+
     def _retry(self, fn, *args):
         import time as _time
         for attempt in range(self.retries + 1):
             try:
                 return fn(*args)
-            except KeyError:
-                raise                      # missing blob is not transient
-            except FileNotFoundError:
-                raise
             except Exception as e:                       # noqa: BLE001
+                if self._is_permanent(e):
+                    raise
                 if attempt == self.retries:
                     raise
                 delay = self.base_delay * (2 ** attempt)

@@ -86,8 +86,9 @@ def test_vit_variants_table():
     variant builds a forwardable config."""
     from chestxray_vit_tpu.config import VIT_VARIANTS, vit_variant_config
     import pytest as _pytest
-    for name in VIT_VARIANTS:
-        m = vit_variant_config(name, img_size=32, num_classes=5)
+    for name, spec in VIT_VARIANTS.items():
+        patch = spec[4]
+        m = vit_variant_config(name, img_size=patch * 4, num_classes=5)
         assert m.hidden_size % m.num_heads == 0, name
         assert m.mlp_dim == 4 * m.hidden_size, name
     assert vit_variant_config("vit_l16").remat
@@ -133,3 +134,18 @@ def test_variant_forward_tiny():
     }
     state, met = step(state, batch)
     assert np.isfinite(float(met["loss"]))
+
+
+def test_model_config_validates_tiling():
+    """img_size must tile by patch_size at construction (the --model
+    vit_h14 @384 case used to crash deep inside jit tracing instead)."""
+    import pytest as _pytest
+    from chestxray_vit_tpu.config import ModelConfig, vit_variant_config
+    with _pytest.raises(ValueError, match="multiple of patch_size"):
+        ModelConfig(img_size=384, patch_size=14)
+    with _pytest.raises(ValueError, match="multiple of patch_size"):
+        vit_variant_config("vit_h14")          # default img_size=384
+    m = vit_variant_config("vit_h14", img_size=392)
+    assert m.num_patches == 28 * 28
+    with _pytest.raises(ValueError, match="num_heads"):
+        ModelConfig(hidden_size=100, num_heads=12)

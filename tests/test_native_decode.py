@@ -157,3 +157,19 @@ def test_crop_pad_resize_matches_pil_chain(rng):
         pil = pipe.host_resize(gray, box, out_size, stretch, flip,
                                prefer_native=False)
         np.testing.assert_array_equal(native, pil)
+
+
+def test_png_gray16_pil_engine_matches_native(rng):
+    """Both engines must produce identical pixels for 16-bit grayscale
+    PNGs: PIL's convert('L') clamps raw 16-bit values at 255 (neither a
+    luminance map nor libpng's strip-16), so decode_gray_pil takes the
+    high byte explicitly."""
+    arr16 = rng.integers(0, 65535, (48, 56), np.uint16)
+    buf = io.BytesIO()
+    Image.fromarray(arr16, "I;16").save(buf, format="PNG")
+    data = buf.getvalue()
+    via_pil = dec.decode_gray_pil(data)
+    expected = (arr16 >> 8).astype(np.uint8)
+    np.testing.assert_array_equal(via_pil, expected)
+    if dec.native_available():
+        np.testing.assert_array_equal(dec.decode_gray_native(data), expected)
