@@ -253,29 +253,46 @@ def iterate_batches(
     if not batches:
         return
 
-    def load_batch(args: Tuple[int, np.ndarray]) -> Dict[str, np.ndarray]:
-        bi, idxs = args
-        start, stop = host_range if host_range is not None \
-            else (0, batch_size)
-        sel = idxs[start:stop]
-        out: List[Dict[str, np.ndarray]] = []
-        for j, i in enumerate(sel, start=start):
+    def make_load_batch(sample_pool: ThreadPoolExecutor):
+        def load_one(bi: int, j: int, i: int) -> Dict[str, np.ndarray]:
             rng = (np.random.default_rng((seed, epoch, bi, j))
                    if loader.augment else None)
-            out.append(loader.load(int(i), rng))
-        num_valid = len(idxs)            # global count (pad_last semantics)
-        local_target = stop - start
-        if pad_last and len(out) < local_target:
-            # short global tail: pad this host's slice to static shape (an
-            # empty slice borrows the batch's last sample as filler)
-            filler = out[-1] if out else loader.load(int(idxs[-1]), None)
-            out.extend([filler] * (local_target - len(out)))
-        batch = _stack(out)
-        if pad_last:
-            batch["num_valid"] = np.asarray(num_valid, np.int32)
-        return batch
+            return loader.load(i, rng)
 
-    with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as pool:
+        def load_batch(args: Tuple[int, np.ndarray]) -> Dict[str, np.ndarray]:
+            bi, idxs = args
+            start, stop = host_range if host_range is not None \
+                else (0, batch_size)
+            sel = idxs[start:stop]
+            # samples fan out over the sample pool so one batch decodes on
+            # all num_workers threads (batch-level futures alone cap
+            # concurrency at prefetch_batches and decode each batch
+            # serially in a single thread)
+            futs = [sample_pool.submit(load_one, bi, j, int(i))
+                    for j, i in enumerate(sel, start=start)]
+            out: List[Dict[str, np.ndarray]] = [f.result() for f in futs]
+            num_valid = len(idxs)        # global count (pad_last semantics)
+            local_target = stop - start
+            if pad_last and len(out) < local_target:
+                # short global tail: pad this host's slice to static shape
+                # (an empty slice borrows the batch's last sample as filler)
+                filler = out[-1] if out else loader.load(int(idxs[-1]), None)
+                out.extend([filler] * (local_target - len(out)))
+            batch = _stack(out)
+            if pad_last:
+                batch["num_valid"] = np.asarray(num_valid, np.int32)
+            return batch
+
+        return load_batch
+
+    # two pools: batch-level futures bound memory (prefetch_batches batches
+    # in flight), the sample pool carries the actual decode parallelism —
+    # distinct pools, so batch workers waiting on sample futures can't
+    # deadlock the threads those futures need
+    with ThreadPoolExecutor(max_workers=max(num_workers, 1)) as sample_pool,\
+         ThreadPoolExecutor(
+             max_workers=max(prefetch_batches, 1)) as pool:
+        load_batch = make_load_batch(sample_pool)
         futures = queue.Queue()
         # batch index keeps its absolute epoch position so augmentation RNG
         # streams are identical with and without skip_batches (exact resume)
@@ -310,17 +327,59 @@ class DevicePrefetcher:
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
         self._error: Optional[BaseException] = None
+        self._stop = False
         self._thread = threading.Thread(target=self._fill, daemon=True)
         self._thread.start()
 
     def _fill(self) -> None:
         try:
             for batch in self._iter:
-                self._q.put(self._place(batch))
+                item = self._place(batch)
+                while not self._stop:       # bounded put: close() can
+                    try:                    # always unblock the producer
+                        self._q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop:
+                    return
         except BaseException as e:          # noqa: BLE001 — re-raised below
             self._error = e
         finally:
-            self._q.put(self._done)
+            # the done sentinel MUST land on normal exhaustion even when
+            # the queue is full (the consumer would block forever without
+            # it); only a close() in progress may skip it
+            while True:
+                try:
+                    self._q.put(self._done, timeout=0.2)
+                    break
+                except queue.Full:
+                    if self._stop:
+                        break
+
+    def close(self) -> None:
+        """Stop the producer and drop queued batches. Required when the
+        consumer abandons iteration early (max_steps or preemption
+        mid-epoch) — otherwise the producer thread blocks in put() forever
+        holding up to ``depth`` placed device batches, and the decode
+        pool's with-block underneath never exits."""
+        self._stop = True
+        while self._thread.is_alive():
+            try:
+                self._q.get(timeout=0.05)
+            except queue.Empty:
+                pass
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        close_iter = getattr(self._iter, "close", None)
+        if close_iter is not None:
+            try:
+                close_iter()        # generator close → inner pools shut down
+            except Exception:                            # noqa: BLE001
+                pass
 
     def __iter__(self):
         return self

@@ -26,8 +26,24 @@ def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """Initialize multi-host JAX. No-ops when already initialized or when
-    the env provides no cluster (single-host dev boxes, CI)."""
-    if jax.process_count() > 1:
+    the env provides no cluster (single-host dev boxes, CI).
+
+    MUST be the first JAX interaction in the process: even an innocent
+    ``jax.process_count()`` initializes the XLA backend, after which
+    ``jax.distributed.initialize`` unconditionally raises — so this
+    function must not probe JAX state before calling it, and callers must
+    invoke it before building meshes/arrays.
+
+    Joins a cluster only when one is explicitly configured (arguments,
+    ``JAX_COORDINATOR_ADDRESS``, or ``CXR_MULTIHOST=1`` to opt into JAX's
+    metadata-based auto-detection on TPU pods) — unconditional
+    auto-detection can BLOCK forever waiting for a coordinator on boxes
+    whose environment half-describes a cluster."""
+    import os
+    explicit = bool(coordinator_address
+                    or os.environ.get("JAX_COORDINATOR_ADDRESS")
+                    or os.environ.get("CXR_MULTIHOST"))
+    if not explicit:
         return
     try:
         kwargs = {}
@@ -37,6 +53,9 @@ def initialize(coordinator_address: Optional[str] = None,
                           process_id=process_id)
         jax.distributed.initialize(**kwargs)
     except Exception as e:                              # noqa: BLE001
+        msg = str(e).lower()
+        if "once" in msg or "already" in msg:
+            return                 # idempotent: distributed service is up
         # single-host fallback (the reference's default world too)
         if coordinator_address:
             raise

@@ -75,6 +75,15 @@ class PackedTrainer(Trainer):
         if new_total != self.total_steps:
             self.total_steps = new_total
             self._build_steps()
+        # throughput/MFU accounting in packed units: a step consumes
+        # ~len(train)/steps_per_epoch images (not the dense global batch)
+        # and costs batch_seqs sequences of seq_len tokens
+        from chestxray_vit_tpu.utils import flops as F
+        self._images_per_step = max(
+            len(self.bundle.train) // self.steps_per_epoch, 1)
+        self._flops_per_image = (
+            F.packed_flops_per_sequence(cfg.model, self.seq_len)
+            * self.batch_seqs / self._images_per_step)
 
     def _has_full_batch(self) -> bool:
         return len(self.bundle.train) > 0
@@ -120,6 +129,16 @@ class PackedTrainer(Trainer):
                 continue   # drop the zero-padded tail batch (drop_last)
             cum.append(cum[-1] + n_images)
             yield mesh_lib.shard_batch(self.mesh, batch)
+
+    def _epoch_progress(self, batch_idx: int) -> float:
+        """Images consumed / images per epoch (the base hook divides
+        batch_idx by steps_per_epoch, but packed batch_idx carries an
+        image-count resume offset — mixing the units made resumed runs log
+        epoch fractions in the tens)."""
+        consumed = batch_idx - self._resume_skip
+        if not 0 <= consumed < len(self._images_cum):
+            return 0.0
+        return self._images_cum[consumed] / max(len(self.bundle.train), 1)
 
     def _save(self, step: int, epoch: int, batch_idx: int) -> None:
         # the packed cursor stores images consumed, not batch count; the

@@ -167,6 +167,15 @@ def make_packed_train_step(cfg: Config, total_steps: int,
     labels / image_mask (see data/packing.py)."""
     from chestxray_vit_tpu.models import packed as packed_model
 
+    if cfg.model.hidden_dropout or cfg.model.attention_dropout:
+        # apply_packed has no train/rng path — refusing beats silently
+        # training with dropout off while the config says otherwise
+        raise NotImplementedError(
+            "dropout is not implemented for the packed path "
+            f"(hidden_dropout={cfg.model.hidden_dropout}, attention_dropout="
+            f"{cfg.model.attention_dropout}); set both to 0.0 or use the "
+            "dense Trainer")
+
     schedule = opt.SCHEDULES[cfg.train.lr_schedule](
         cfg.train.learning_rate, total_steps, cfg.train.warmup_steps)
     adamw_cfg = opt.AdamWConfig(
@@ -182,7 +191,8 @@ def make_packed_train_step(cfg: Config, total_steps: int,
             logits, batch["labels"], batch["image_mask"])
 
     def train_step(state: TrainState, batch):
-        rng, _ = jax.random.split(state.rng)
+        rng, _ = jax.random.split(state.rng)  # keep the stream advancing in
+        # lockstep with the dense step (resume/state-shape compatibility)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
         grads, grad_norm = opt.clip_by_global_norm(
             grads, adamw_cfg.max_grad_norm)

@@ -116,8 +116,10 @@ class Trainer:
             greater_is_better=cfg.train.greater_is_better)
         self._meter = ThroughputMeter()
         # live MFU accounting (utils/flops): useful-math FLOPs per image vs
-        # the local chip generation's bf16 peak
+        # the local chip generation's bf16 peak. Subclasses with different
+        # step economics (PackedTrainer) override both fields after init.
         from chestxray_vit_tpu.utils import flops as F
+        self._images_per_step = self.global_batch
         self._flops_per_image = F.model_flops_per_image(cfg.model)
         self._chip_peak = F.chip_peak_flops()
         self._n_chips = max(len(jax.devices()), 1)
@@ -233,6 +235,7 @@ class Trainer:
 
         t_start = time.perf_counter()
         step = int(self.state.step)
+        start_step = step            # for this-run throughput accounting
         epoch = cursor.epoch
         done = False
         while not done and step < self.total_steps:
@@ -247,6 +250,7 @@ class Trainer:
             # tunneled platforms and unbounded ones hide errors (BENCH_NOTES).
             sync_every = max(1, min(16, cfg.logging_steps or 16))
             unmetered_steps = 0
+            epoch_exhausted = True
             for batch in prefetch:
                 self.profiler.maybe_start(step)
                 self.state, metrics = self._train_step(self.state, batch)
@@ -257,7 +261,7 @@ class Trainer:
                     # scalar fetch = device completion barrier; always
                     # per-step while profiling so stop_trace sees the work
                     float(metrics["loss"])
-                    self._meter.step(self.global_batch * unmetered_steps)
+                    self._meter.step(self._images_per_step * unmetered_steps)
                     unmetered_steps = 0
                 self.profiler.maybe_stop(step)
 
@@ -267,7 +271,7 @@ class Trainer:
                         "loss": float(metrics["loss"]),
                         "grad_norm": float(metrics["grad_norm"]),
                         "lr": float(metrics["lr"]),
-                        "epoch": epoch + batch_idx / self.steps_per_epoch,
+                        "epoch": epoch + self._epoch_progress(batch_idx),
                         "images_per_sec": ips,
                         "mfu": (ips / self._n_chips * self._flops_per_image
                                 / self._chip_peak),
@@ -277,11 +281,14 @@ class Trainer:
                     self._last_eval_metrics = self.evaluate()
                     self._last_eval_step = step
                     self.logger.log(step, self._last_eval_metrics, "eval")
+                    # don't bill the eval pause to the next window's rate
+                    self._meter.reset()
                 if (cfg.save_strategy == "steps" and cfg.save_steps
                         and step % cfg.save_steps == 0):
                     self._save(step, epoch, batch_idx)
                 if step >= self.total_steps:
                     done = True
+                    epoch_exhausted = False
                     break
                 if self._stop_requested:
                     # preemption: persist the exact cursor so
@@ -290,8 +297,12 @@ class Trainer:
                     print(f"[trainer] stop requested: checkpointed at step "
                           f"{step} (epoch {epoch}, batch {batch_idx})")
                     done = True
+                    epoch_exhausted = False
                     break
-            else:
+            # abandoning iteration early must release the prefetch thread
+            # and its queued device batches (max_steps/preemption mid-epoch)
+            prefetch.close()
+            if epoch_exhausted:
                 if step == step_at_epoch_start and skip == 0:
                     raise ValueError(
                         "an epoch produced zero training batches — batch "
@@ -301,6 +312,7 @@ class Trainer:
                     self._last_eval_metrics = self.evaluate()
                     self._last_eval_step = step
                     self.logger.log(step, self._last_eval_metrics, "eval")
+                    self._meter.reset()
                 if cfg.save_strategy == "epoch":
                     self._save(step, epoch, 0)
                 if epoch >= cfg.num_epochs and cfg.max_steps is None:
@@ -318,11 +330,19 @@ class Trainer:
         train_metrics = {
             "train_runtime": elapsed,
             "train_steps": step,
+            # rate over the steps THIS run trained — after a resume, the
+            # absolute step count includes work a previous run paid for
             "train_samples_per_second":
-                step * self.global_batch / max(elapsed, 1e-9),
+                (step - start_step) * self._images_per_step
+                / max(elapsed, 1e-9),
         }
         self.logger.save_results("train", train_metrics)
         return train_metrics
+
+    def _epoch_progress(self, batch_idx: int) -> float:
+        """Fraction of the current epoch consumed (subclass hook — the
+        packed path's batch_idx mixes an image-count resume offset)."""
+        return batch_idx / self.steps_per_epoch
 
     def _save(self, step: int, epoch: int, batch_idx: int) -> None:
         # only attach eval metrics measured at THIS step — best-checkpoint

@@ -59,6 +59,23 @@ def model_flops_per_image(cfg: ModelConfig, fwd_only: bool = False) -> float:
     return fwd if fwd_only else 3.0 * fwd
 
 
+def packed_flops_per_sequence(cfg: ModelConfig, seq_len: int,
+                              fwd_only: bool = False) -> float:
+    """Analytic matmul FLOPs for ONE packed sequence of ``seq_len`` tokens
+    (train/packed_trainer.py throughput accounting). Counts the full
+    seq_len² attention area the segment-masked kernel actually executes —
+    cross-segment products are computed then masked — so packed MFU is
+    executed-math utilization, an upper bound on useful-math MFU."""
+    s = seq_len
+    d, m = cfg.hidden_size, cfg.mlp_dim
+    macs = s * (cfg.patch_size ** 2 * 3) * d                 # token embed
+    per_layer = (4 * s * d * d + 2 * s * s * d + 2 * s * d * m)
+    macs += cfg.num_layers * per_layer
+    macs += d * cfg.num_classes
+    fwd = 2.0 * macs
+    return fwd if fwd_only else 3.0 * fwd
+
+
 def mfu(images_per_sec_per_chip: float, cfg: ModelConfig,
         device_kind: Optional[str] = None) -> float:
     """Model FLOPs utilization of a measured training throughput."""

@@ -80,6 +80,13 @@ class ThroughputMeter:
             self._t0 = now
             self._images = 0
 
+    def reset(self) -> None:
+        """Restart the current window (call after eval/checkpoint pauses so
+        the stall isn't billed to the next window's rate); the last
+        completed rate stays readable."""
+        self._t0 = None
+        self._images = 0
+
     @property
     def images_per_sec(self) -> float:
         return self._rate

@@ -226,3 +226,24 @@ def test_host_range_ragged_tail_raises(fake):
                                        host_range=(0, bs // 2)))
     assert len(padded) == 2
     assert int(padded[-1]["num_valid"]) == 1   # global valid count
+
+
+def test_device_prefetcher_close_releases_producer(fake):
+    """Abandoning iteration early (max_steps mid-epoch) must stop the
+    producer thread — it used to block in q.put forever, pinning queued
+    batches and the decode pool."""
+    import threading as _threading
+    b = pipe.build_datasets(_cfg(), store=fake.store)
+    loader = pipe.SampleLoader(b.train, b.blob_map, fake.store, img_size=64,
+                               prefer_native_decode=False)
+    before = _threading.active_count()
+    pf = pipe.DevicePrefetcher(
+        pipe.iterate_batches(loader, 4, num_workers=2, prefetch_batches=2),
+        place_fn=lambda x: x, depth=2)
+    next(iter(pf))                       # consume one batch, abandon rest
+    pf.close()
+    import time as _time
+    deadline = _time.time() + 5
+    while _threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert _threading.active_count() <= before, "producer threads leaked"
