@@ -314,3 +314,26 @@ def test_bucket_sizes():
     assert Predictor._bucket(3, 8) == 4
     assert Predictor._bucket(8, 8) == 8
     assert Predictor._bucket(5, 4) == 4     # never above batch_size
+
+
+def test_warmup_compiles_all_buckets(rng):
+    """warmup() must run for both placements without touching decode."""
+    cfg = tiny_cfg()
+    params = vit.init_params(jax.random.key(5), cfg)
+    for placement in ("host", "device"):
+        pred = Predictor(params, cfg, batch_size=4, canvas_size=64,
+                         placement=placement)
+        pred.warmup()
+        pred.warmup(with_maps=True)
+        # post-warmup predictions still correct
+        blob = _png(rng.integers(0, 255, (32, 32), np.uint8))
+        out = pred.predict_bytes([blob])
+        assert out.probs.shape == (1, 5)
+
+
+def test_server_main_flags():
+    """The serve CLI exposes --placement and validates choices."""
+    import pytest as _pytest
+    from chestxray_vit_tpu.serve import server as srv
+    with _pytest.raises(SystemExit):
+        srv.main(["--model-dir", "x", "--placement", "gpu"])   # bad choice
