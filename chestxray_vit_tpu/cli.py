@@ -93,6 +93,42 @@ def cmd_smoke(cfg: Config) -> int:
     return 0
 
 
+def cmd_maps(argv: List[str]) -> int:
+    """Attention-rollout overlays for saved models (the reference's README
+    TODO 'attention map visualization', one-shot CLI form; the HTTP server
+    exposes the same maps via /predict?maps=1)."""
+    import argparse
+    ap = argparse.ArgumentParser(prog="chestxray_vit_tpu maps")
+    ap.add_argument("images", nargs="+", help="PNG/JPEG files")
+    ap.add_argument("--model-dir", required=True)
+    ap.add_argument("--out-dir", default=".")
+    ap.add_argument("--alpha", type=float, default=0.45)
+    ns = ap.parse_args(argv)
+
+    import numpy as np
+    from PIL import Image
+
+    from chestxray_vit_tpu.data import decode as dec
+    from chestxray_vit_tpu.serve import attention_maps as am
+    from chestxray_vit_tpu.serve.inference import Predictor
+
+    pred = Predictor.from_model_dir(ns.model_dir)
+    blobs = [open(p, "rb").read() for p in ns.images]
+    out = pred.predict_bytes(blobs, with_maps=True)
+    os.makedirs(os.path.expanduser(ns.out_dir), exist_ok=True)
+    for path, blob, m, probs in zip(ns.images, blobs, out.maps, out.probs):
+        gray = dec.safe_decode_gray(blob)
+        overlay = am.render_overlay(gray, np.asarray(m), ns.alpha)
+        stem = os.path.splitext(os.path.basename(path))[0]
+        dest = os.path.join(os.path.expanduser(ns.out_dir),
+                            f"{stem}_attn.png")
+        Image.fromarray(overlay, "RGB").save(dest)
+        top = pred.top_findings(probs, k=3)
+        print(f"{path} -> {dest}  top: " + ", ".join(
+            f"{f['label']}={f['probability']:.3f}" for f in top))
+    return 0
+
+
 COMMANDS = {
     "train": cmd_train,
     "eval": cmd_eval,
@@ -112,9 +148,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         # HTTP inference server (own flag surface: --model-dir/--port/...)
         from chestxray_vit_tpu.serve.server import main as serve_main
         return serve_main(argv)
+    if cmd == "maps":
+        return cmd_maps(argv)
     if cmd not in COMMANDS:
         print(f"unknown command {cmd!r}; one of "
-              f"{sorted([*COMMANDS, 'serve'])}")
+              f"{sorted([*COMMANDS, 'maps', 'serve'])}")
         return 2
     cfg = parse_cli(argv)
     return COMMANDS[cmd](cfg)

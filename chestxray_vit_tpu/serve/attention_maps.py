@@ -115,3 +115,24 @@ def upsample_map(maps: jax.Array, out_size: int) -> jax.Array:
     """[B, g, g] → [B, out, out] bilinear upsample for overlay rendering."""
     return jax.image.resize(
         maps, (maps.shape[0], out_size, out_size), method="bilinear")
+
+
+def render_overlay(gray, map01, alpha: float = 0.45):
+    """u8 [H, W] radiograph + [g, g] normalized attention map → RGB u8
+    overlay (red-yellow heat blended over the image) — the host-side
+    rendering for the ``maps`` CLI and notebook use. Pure numpy/PIL."""
+    import numpy as np
+    from PIL import Image
+
+    h, w = gray.shape
+    m = np.asarray(
+        Image.fromarray((np.clip(np.asarray(map01, np.float32), 0, 1)
+                         * 255).astype(np.uint8), "L")
+        .resize((w, h), Image.BILINEAR), np.float32) / 255.0
+    base = (1.0 - alpha) * gray.astype(np.float32)
+    out = np.stack([
+        base + alpha * 255.0 * m,              # red ∝ attention
+        base + alpha * 255.0 * 0.6 * m * m,    # yellow tint at the peak
+        base,
+    ], axis=-1)
+    return np.clip(out + 0.5, 0, 255).astype(np.uint8)

@@ -77,3 +77,41 @@ def test_cli_serve_routing():
     from chestxray_vit_tpu import cli
     with _pytest.raises(SystemExit):          # argparse: --model-dir required
         cli.main(["serve"])
+
+
+def test_cli_maps_writes_overlays(trained_dir, tmp_path, capsys):
+    """`maps` renders attention-rollout overlays for a saved model
+    (reference README TODO 'attention map visualization', CLI form)."""
+    import io
+    import numpy as np
+    from PIL import Image
+    img_path = tmp_path / "xray.png"
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (96, 80), np.uint8), "L").save(
+        img_path)
+    out_dir = tmp_path / "overlays"
+    rc = main(["maps", str(img_path),
+               "--model-dir", str(trained_dir / "model"),
+               "--out-dir", str(out_dir)])
+    assert rc == 0
+    dest = out_dir / "xray_attn.png"
+    assert dest.exists()
+    overlay = np.asarray(Image.open(dest))
+    assert overlay.shape == (96, 80, 3)
+    assert "top:" in capsys.readouterr().out
+
+
+def test_render_overlay_blend():
+    import numpy as np
+    from chestxray_vit_tpu.serve.attention_maps import render_overlay
+    gray = np.full((64, 48), 100, np.uint8)
+    m = np.zeros((4, 4), np.float32)
+    m[1, 1] = 1.0
+    out = render_overlay(gray, m, alpha=0.5)
+    assert out.shape == (64, 48, 3)
+    assert out.dtype == np.uint8
+    # red channel exceeds blue where attention is high; equal where zero
+    hot = out[16, 12]            # near the peak cell
+    cold = out[60, 44]
+    assert hot[0] > hot[2]
+    assert cold[0] == cold[2]
