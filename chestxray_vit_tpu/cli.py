@@ -129,6 +129,33 @@ def cmd_maps(argv: List[str]) -> int:
     return 0
 
 
+def cmd_export(argv: List[str]) -> int:
+    """Export a saved model dir to an HF ViTForImageClassification folder
+    (torch `from_pretrained`-loadable) — the interop surface reference
+    users expect when moving weights back to the HF stack."""
+    import argparse
+    ap = argparse.ArgumentParser(prog="chestxray_vit_tpu export")
+    ap.add_argument("--model-dir", required=True,
+                    help="a Trainer save_model() directory")
+    ap.add_argument("--out", required=True, help="HF folder to write")
+    ns = ap.parse_args(argv)
+
+    import jax
+
+    from chestxray_vit_tpu.models import vit
+    from chestxray_vit_tpu.models.export_hf import export_hf_folder
+    from chestxray_vit_tpu.train.checkpoint import load_model
+
+    with open(os.path.join(os.path.expanduser(ns.model_dir),
+                           "config.json")) as f:
+        cfg = Config.from_json(f.read())
+    template = vit.init_params(jax.random.key(0), cfg.model)
+    params, classes = load_model(ns.model_dir, template)
+    export_hf_folder(ns.out, params, cfg.model, classes)
+    print(f"HF export written to {ns.out}")
+    return 0
+
+
 COMMANDS = {
     "train": cmd_train,
     "eval": cmd_eval,
@@ -150,9 +177,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         return serve_main(argv)
     if cmd == "maps":
         return cmd_maps(argv)
+    if cmd == "export":
+        return cmd_export(argv)
     if cmd not in COMMANDS:
         print(f"unknown command {cmd!r}; one of "
-              f"{sorted([*COMMANDS, 'maps', 'serve'])}")
+              f"{sorted([*COMMANDS, 'export', 'maps', 'serve'])}")
         return 2
     cfg = parse_cli(argv)
     return COMMANDS[cmd](cfg)

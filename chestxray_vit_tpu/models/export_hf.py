@@ -61,6 +61,43 @@ def save_safetensors(path: str, params: Mapping[str, Any],
     save_file(sd, path)
 
 
+def export_hf_folder(directory: str, params: Mapping[str, Any], model_cfg,
+                     classes=None) -> None:
+    """Write a complete ``from_pretrained``-loadable folder:
+    ``model.safetensors`` + an HF ``ViTForImageClassification``
+    config.json (multi-label problem type, id2label from ``classes``)."""
+    import json
+    import os
+
+    directory = os.path.expanduser(directory)
+    os.makedirs(directory, exist_ok=True)
+    save_safetensors(os.path.join(directory, "model.safetensors"),
+                     params, model_cfg.patch_size)
+    names = (list(classes) if classes
+             else [str(i) for i in range(model_cfg.num_classes)])
+    hf_cfg = {
+        "architectures": ["ViTForImageClassification"],
+        "model_type": "vit",
+        "image_size": model_cfg.img_size,
+        "patch_size": model_cfg.patch_size,
+        "num_channels": 3,
+        "hidden_size": model_cfg.hidden_size,
+        "num_hidden_layers": model_cfg.num_layers,
+        "num_attention_heads": model_cfg.num_heads,
+        "intermediate_size": model_cfg.mlp_dim,
+        "hidden_act": "gelu",
+        "layer_norm_eps": model_cfg.layernorm_eps,
+        "hidden_dropout_prob": model_cfg.hidden_dropout,
+        "attention_probs_dropout_prob": model_cfg.attention_dropout,
+        "qkv_bias": True,
+        "problem_type": "multi_label_classification",
+        "id2label": {str(i): n for i, n in enumerate(names)},
+        "label2id": {n: i for i, n in enumerate(names)},
+    }
+    with open(os.path.join(directory, "config.json"), "w") as f:
+        json.dump(hf_cfg, f, indent=2)
+
+
 def _flatten(tree: Mapping[str, Any], prefix: str = "") -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     for k, v in tree.items():

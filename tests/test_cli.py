@@ -115,3 +115,41 @@ def test_render_overlay_blend():
     cold = out[60, 44]
     assert hot[0] > hot[2]
     assert cold[0] == cold[2]
+
+
+def test_cli_export_hf_folder(trained_dir, tmp_path):
+    """`export` writes a from_pretrained-loadable HF folder whose torch
+    model reproduces our logits on a fixed input."""
+    out = tmp_path / "hf_export"
+    rc = main(["export", "--model-dir", str(trained_dir / "model"),
+               "--out", str(out)])
+    assert rc == 0
+    assert (out / "model.safetensors").exists()
+    cfg_json = json.loads((out / "config.json").read_text())
+    assert cfg_json["architectures"] == ["ViTForImageClassification"]
+    assert cfg_json["problem_type"] == "multi_label_classification"
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    import numpy as np
+    hf = transformers.ViTForImageClassification.from_pretrained(str(out))
+    hf.eval()
+
+    import jax
+    from chestxray_vit_tpu.config import Config
+    from chestxray_vit_tpu.models import vit
+    from chestxray_vit_tpu.train.checkpoint import load_model
+    cfg = Config.from_json((trained_dir / "model" / "config.json")
+                           .read_text())
+    template = vit.init_params(jax.random.key(0), cfg.model)
+    params, classes = load_model(str(trained_dir / "model"), template)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(
+        (2, cfg.model.img_size, cfg.model.img_size, 3)).astype(np.float32)
+    ours = np.asarray(vit.apply(params, x, cfg.model))
+    with torch.no_grad():
+        theirs = hf(torch.from_numpy(
+            x.transpose(0, 3, 1, 2))).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-4)
+    assert cfg_json["id2label"]["0"] == classes[0]
