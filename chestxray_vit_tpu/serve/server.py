@@ -3,6 +3,7 @@
 POST /predict          body: raw PNG/JPEG bytes → JSON findings
 POST /predict?maps=1   → findings + attention-rollout map (grid floats)
 GET  /healthz          → {"status": "ok"}
+GET  /metrics          → request/error counts + latency quantiles (JSON)
 
 Stdlib-only (ThreadingHTTPServer). Concurrent requests coalesce into
 shared device forwards through :class:`serve.batcher.MicroBatcher` — N
@@ -27,9 +28,48 @@ from chestxray_vit_tpu.serve.inference import Predictor
 MAX_BODY_BYTES = 32 * 1024 * 1024
 
 
+class ServerStats:
+    """Thread-safe request counters + a latency ring buffer for /metrics
+    (the production-observability surface; stdlib-only)."""
+
+    def __init__(self, window: int = 512):
+        import threading
+        import time as _time
+        self._lock = threading.Lock()
+        self._lat = [0.0] * window
+        self._n = 0
+        self.requests = 0
+        self.errors = 0
+        self._t0 = _time.time()
+
+    def observe(self, seconds: float, error: bool = False) -> None:
+        with self._lock:
+            self.requests += 1
+            self.errors += error
+            self._lat[self._n % len(self._lat)] = seconds
+            self._n += 1
+
+    def snapshot(self) -> dict:
+        import time as _time
+        with self._lock:
+            lat = sorted(self._lat[:min(self._n, len(self._lat))])
+            q = (lambda p: round(
+                lat[min(int(len(lat) * p), len(lat) - 1)] * 1e3, 1)
+                ) if lat else (lambda p: None)
+            return {
+                "requests_total": self.requests,
+                "errors_total": self.errors,
+                "latency_ms": {"p50": q(0.5), "p95": q(0.95),
+                               "p99": q(0.99)},
+                "uptime_seconds": round(_time.time() - self._t0, 1),
+            }
+
+
 def make_handler(predictor: Predictor, max_body: int = MAX_BODY_BYTES,
-                 batcher: Optional[MicroBatcher] = None):
+                 batcher: Optional[MicroBatcher] = None,
+                 stats: Optional[ServerStats] = None):
     batcher = batcher or MicroBatcher(predictor)
+    stats = stats or ServerStats()
 
     class Handler(BaseHTTPRequestHandler):
         # socket read timeout: a stalled/trickling client can't pin a
@@ -51,6 +91,8 @@ def make_handler(predictor: Predictor, max_body: int = MAX_BODY_BYTES,
             if self.path.rstrip("/") == "/healthz" or self.path == "/":
                 return self._json(200, {"status": "ok",
                                         "classes": predictor.classes})
+            if self.path.rstrip("/") == "/metrics":
+                return self._json(200, stats.snapshot())
             return self._json(404, {"error": "not found"})
 
         def do_POST(self):
@@ -81,10 +123,14 @@ def make_handler(predictor: Predictor, max_body: int = MAX_BODY_BYTES,
             data = self.rfile.read(length)
             query = parse_qs(url.query)
             with_maps = query.get("maps", ["0"])[-1] == "1"
+            import time as _time
+            t0 = _time.perf_counter()
             try:
                 res = batcher.predict(data, with_maps=with_maps)
             except Exception as e:                     # noqa: BLE001
+                stats.observe(_time.perf_counter() - t0, error=True)
                 return self._json(500, {"error": str(e)})
+            stats.observe(_time.perf_counter() - t0)
             payload = {
                 "findings": predictor.top_findings(res.probs,
                                                    k=len(res.probs)),

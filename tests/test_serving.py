@@ -218,6 +218,13 @@ def test_http_server_end_to_end(rng):
                                      method="POST")
         out = json.loads(urllib.request.urlopen(req).read())
         assert "attention_map" not in out
+
+        # /metrics reflects the traffic above
+        m = json.loads(urllib.request.urlopen(base + "/metrics").read())
+        assert m["requests_total"] >= 4        # the successful predicts
+        assert m["errors_total"] == 0
+        assert m["latency_ms"]["p50"] > 0
+        assert m["uptime_seconds"] >= 0
     finally:
         server.shutdown()
 
