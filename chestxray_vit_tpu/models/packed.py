@@ -36,7 +36,8 @@ def build_pos_table(params, cfg: ModelConfig,
     return jnp.concatenate(blocks, axis=0)
 
 
-def _packed_mha(x, bp, cfg: ModelConfig, seg_ids):
+def _packed_mha(x, bp, cfg: ModelConfig, seg_ids, dropout_rng=None,
+                train: bool = False):
     b, s, d = x.shape
     h, hd = cfg.num_heads, cfg.head_dim
 
@@ -47,7 +48,19 @@ def _packed_mha(x, bp, cfg: ModelConfig, seg_ids):
                 + p["bias"].reshape(h, 1, hd))
 
     q, k, v = heads(bp["wq"]), heads(bp["wk"]), heads(bp["wv"])
-    if cfg.attention_impl == "pallas" or (
+    attn_drop = (train and cfg.attention_dropout > 0.0
+                 and dropout_rng is not None)
+    if attn_drop:
+        # HF semantics (dropout on the softmax probabilities) need the
+        # materialized unfused path, exactly like the dense vit._mha
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) / (hd ** 0.5)
+        mask = seg_ids[:, None, :, None] == seg_ids[:, None, None, :]
+        probs = jax.nn.softmax(jnp.where(mask, scores, -1e30), axis=-1)
+        probs = vit._dropout(probs, cfg.attention_dropout, dropout_rng,
+                             train, 2)
+        o = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+    elif cfg.attention_impl == "pallas" or (
             cfg.attention_impl == "auto" and jax.default_backend() == "tpu"):
         # 384-row Q blocks when they tile the padded sequence (the 1152-token
         # packed config): fewer dK/dV accumulation revisits, measured faster
@@ -64,12 +77,14 @@ def _packed_mha(x, bp, cfg: ModelConfig, seg_ids):
 
 def apply_packed(params, tokens: jax.Array, segment_ids: jax.Array,
                  pos_indices: jax.Array, pool_weights: jax.Array,
-                 cfg: ModelConfig, grids: Sequence[int] = (16, 24, 32)
-                 ) -> jax.Array:
+                 cfg: ModelConfig, grids: Sequence[int] = (16, 24, 32),
+                 *, train: bool = False, rng=None) -> jax.Array:
     """Packed forward: [B, S, patch_dim] tokens → [B, max_imgs, C] logits.
 
     Shares all weights with :func:`vit.apply` except the CLS token (pooled
-    instead). Encoder runs under ``lax.scan`` like the dense path.
+    instead). Encoder runs under ``lax.scan`` like the dense path;
+    ``train`` + ``rng`` enable hidden/attention dropout with the dense
+    path's per-layer key-splitting discipline.
     """
     compute_dtype = jnp.dtype(cfg.dtype)
     pe = params["patch_embed"]
@@ -86,20 +101,26 @@ def apply_packed(params, tokens: jax.Array, segment_ids: jax.Array,
                           params["blocks"])
 
     def body(carry, bp):
-        x = carry
+        x, key = carry
+        key, sub = (jax.random.split(key) if key is not None
+                    else (None, None))
         a_in = vit.layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"],
                               cfg.layernorm_eps)
-        x = x + _packed_mha(a_in, bp, cfg, segment_ids)
+        attn_out = _packed_mha(a_in, bp, cfg, segment_ids, sub, train)
+        attn_out = vit._dropout(attn_out, cfg.hidden_dropout, sub, train, 0)
+        x = x + attn_out
         m_in = vit.layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
                               cfg.layernorm_eps)
         mid = _gelu(jnp.dot(m_in, bp["mlp_in"]["kernel"])
                     + bp["mlp_in"]["bias"],
                     approximate=cfg.gelu_approximate)
-        x = x + jnp.dot(mid, bp["mlp_out"]["kernel"]) + bp["mlp_out"]["bias"]
-        return x, None
+        mlp_out = (jnp.dot(mid, bp["mlp_out"]["kernel"])
+                   + bp["mlp_out"]["bias"])
+        mlp_out = vit._dropout(mlp_out, cfg.hidden_dropout, sub, train, 1)
+        return (x + mlp_out, key), None
 
     fn = jax.checkpoint(body, prevent_cse=False) if cfg.remat else body
-    x, _ = jax.lax.scan(fn, x, blocks)
+    (x, _), _ = jax.lax.scan(fn, (x, rng if train else None), blocks)
 
     fl = params["final_ln"]
     x = vit.layer_norm(x, fl["scale"], fl["bias"], cfg.layernorm_eps)

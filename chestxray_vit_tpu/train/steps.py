@@ -167,15 +167,6 @@ def make_packed_train_step(cfg: Config, total_steps: int,
     labels / image_mask (see data/packing.py)."""
     from chestxray_vit_tpu.models import packed as packed_model
 
-    if cfg.model.hidden_dropout or cfg.model.attention_dropout:
-        # apply_packed has no train/rng path — refusing beats silently
-        # training with dropout off while the config says otherwise
-        raise NotImplementedError(
-            "dropout is not implemented for the packed path "
-            f"(hidden_dropout={cfg.model.hidden_dropout}, attention_dropout="
-            f"{cfg.model.attention_dropout}); set both to 0.0 or use the "
-            "dense Trainer")
-
     schedule = opt.SCHEDULES[cfg.train.lr_schedule](
         cfg.train.learning_rate, total_steps, cfg.train.warmup_steps)
     adamw_cfg = opt.AdamWConfig(
@@ -183,17 +174,18 @@ def make_packed_train_step(cfg: Config, total_steps: int,
         weight_decay=cfg.train.weight_decay,
         max_grad_norm=cfg.train.max_grad_norm)
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, step_rng):
         logits = packed_model.apply_packed(
             params, batch["tokens"], batch["segment_ids"],
-            batch["pos_indices"], batch["pool_weights"], cfg.model, grids)
+            batch["pos_indices"], batch["pool_weights"], cfg.model, grids,
+            train=True, rng=step_rng)
         return packed_model.packed_bce_loss(
             logits, batch["labels"], batch["image_mask"])
 
     def train_step(state: TrainState, batch):
-        rng, _ = jax.random.split(state.rng)  # keep the stream advancing in
-        # lockstep with the dense step (resume/state-shape compatibility)
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        rng, step_rng = jax.random.split(state.rng)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch,
+                                                  step_rng)
         grads, grad_norm = opt.clip_by_global_norm(
             grads, adamw_cfg.max_grad_norm)
         lr = schedule(state.step)

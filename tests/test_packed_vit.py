@@ -197,3 +197,38 @@ def test_iterate_packed_batches_end_to_end(rng):
             state, m = step(state, {k: jnp.asarray(v) for k, v in b.items()})
             losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+
+
+def test_packed_dropout_perturbs_and_rate0_identity(rng):
+    """train+rng with nonzero dropout perturbs packed activations; zero
+    rates (or eval mode) reproduce the deterministic forward exactly —
+    the dense path's dropout semantics, now on the packed path too."""
+    import dataclasses
+    b = pk.pack_images(_images(rng, [32, 48, 32]), _labels(rng, 3),
+                       patch=16, seq_len=48, grids=GRIDS)
+    params = vit.init_params(jax.random.key(2), CFG)
+    args = (jnp.asarray(b.tokens), jnp.asarray(b.segment_ids),
+            jnp.asarray(b.pos_indices), jnp.asarray(b.pool_weights))
+
+    base = np.asarray(pm.apply_packed(params, *args, CFG, GRIDS))
+    # eval mode and rate-0 train mode are bit-identical to the base
+    np.testing.assert_array_equal(
+        np.asarray(pm.apply_packed(params, *args, CFG, GRIDS,
+                                   train=True, rng=jax.random.key(3))), base)
+
+    dcfg = dataclasses.replace(CFG, hidden_dropout=0.3,
+                               attention_dropout=0.2)
+    key = jax.random.key(3)
+    dropped = np.asarray(pm.apply_packed(params, *args, dcfg, GRIDS,
+                                         train=True, rng=key))
+    assert not np.allclose(dropped, base)
+    # deterministic per key, different across keys
+    again = np.asarray(pm.apply_packed(params, *args, dcfg, GRIDS,
+                                       train=True, rng=key))
+    np.testing.assert_array_equal(dropped, again)
+    other = np.asarray(pm.apply_packed(params, *args, dcfg, GRIDS,
+                                       train=True, rng=jax.random.key(9)))
+    assert not np.allclose(dropped, other)
+    # eval mode ignores dropout entirely
+    np.testing.assert_array_equal(
+        np.asarray(pm.apply_packed(params, *args, dcfg, GRIDS)), base)
