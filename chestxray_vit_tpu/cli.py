@@ -103,6 +103,10 @@ def cmd_maps(argv: List[str]) -> int:
     ap.add_argument("--model-dir", required=True)
     ap.add_argument("--out-dir", default=".")
     ap.add_argument("--alpha", type=float, default=0.45)
+    ap.add_argument("--method", choices=("rollout", "gradcam"),
+                    default="rollout",
+                    help="rollout: attention flow from CLS; gradcam: "
+                         "class-discriminative (top predicted class)")
     ns = ap.parse_args(argv)
 
     import numpy as np
@@ -114,9 +118,28 @@ def cmd_maps(argv: List[str]) -> int:
 
     pred = Predictor.from_model_dir(ns.model_dir)
     blobs = [open(p, "rb").read() for p in ns.images]
-    out = pred.predict_bytes(blobs, with_maps=True)
+    if ns.method == "gradcam":
+        import jax.numpy as jnp
+
+        from chestxray_vit_tpu.data import geometry as geo
+        from chestxray_vit_tpu.data.pipeline import host_resize
+        from chestxray_vit_tpu.ops.preprocess import normalize_u8
+
+        plain = pred.predict_bytes(blobs)
+        cfg = pred.cfg
+        u8 = np.stack([
+            host_resize(g, geo.full_image_box(g.shape[1], g.shape[0]),
+                        cfg.img_size)
+            for g in (dec.safe_decode_gray(b) for b in blobs)])
+        images = normalize_u8(jnp.asarray(u8), dtype=jnp.dtype(cfg.dtype))
+        cls = jnp.asarray(np.argmax(plain.probs, axis=1))
+        _, cams = am.grad_cam(pred.params, images, cfg, cls)
+        maps_np, probs_np = np.asarray(cams), plain.probs
+    else:
+        out = pred.predict_bytes(blobs, with_maps=True)
+        maps_np, probs_np = out.maps, out.probs
     os.makedirs(os.path.expanduser(ns.out_dir), exist_ok=True)
-    for path, blob, m, probs in zip(ns.images, blobs, out.maps, out.probs):
+    for path, blob, m, probs in zip(ns.images, blobs, maps_np, probs_np):
         gray = dec.safe_decode_gray(blob)
         overlay = am.render_overlay(gray, np.asarray(m), ns.alpha)
         stem = os.path.splitext(os.path.basename(path))[0]

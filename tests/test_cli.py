@@ -153,3 +153,20 @@ def test_cli_export_hf_folder(trained_dir, tmp_path):
             x.transpose(0, 3, 1, 2))).logits.numpy()
     np.testing.assert_allclose(ours, theirs, atol=2e-4)
     assert cfg_json["id2label"]["0"] == classes[0]
+
+
+def test_cli_maps_gradcam(trained_dir, tmp_path):
+    """`maps --method gradcam` renders class-discriminative overlays."""
+    import numpy as np
+    from PIL import Image
+    img_path = tmp_path / "gc.png"
+    rng = np.random.default_rng(1)
+    Image.fromarray(rng.integers(0, 255, (64, 64), np.uint8), "L").save(
+        img_path)
+    out_dir = tmp_path / "gc_overlays"
+    rc = main(["maps", str(img_path),
+               "--model-dir", str(trained_dir / "model"),
+               "--out-dir", str(out_dir), "--method", "gradcam"])
+    assert rc == 0
+    overlay = np.asarray(Image.open(out_dir / "gc_attn.png"))
+    assert overlay.shape == (64, 64, 3)
