@@ -174,7 +174,9 @@ def cmd_export(argv: List[str]) -> int:
         cfg = Config.from_json(f.read())
     template = vit.init_params(jax.random.key(0), cfg.model)
     params, classes = load_model(ns.model_dir, template)
-    export_hf_folder(ns.out, params, cfg.model, classes)
+    export_hf_folder(ns.out, params, cfg.model, classes,
+                     image_mean=cfg.data.image_mean,
+                     image_std=cfg.data.image_std)
     print(f"HF export written to {ns.out}")
     return 0
 

@@ -436,10 +436,20 @@ def parse_cli(argv: Optional[Sequence[str]] = None) -> Config:
             cfg = Config.from_json(f.read())
     else:
         cfg = _PRESETS[ns.preset]()
-    if ns.model:
-        cfg.model = vit_variant_config(ns.model, cfg.model.img_size,
-                                       cfg.model.num_classes)
+    overrides = []
     for kv in ns.set:
         key, _, value = kv.partition("=")
-        _set_by_path(cfg, key.strip(), value.strip())
+        overrides.append((key.strip(), value.strip()))
+    if ns.model:
+        # --set model.img_size/num_classes must reach vit_variant_config
+        # BEFORE construction: e.g. vit_h14 (patch 14) cannot be built at a
+        # preset's img_size 384 (384 % 14 != 0) — the variant has to be
+        # constructed with the overridden geometry, not patched afterwards
+        pre = dict(overrides)
+        img_size = int(pre.get("model.img_size", cfg.model.img_size))
+        num_classes = int(pre.get("model.num_classes",
+                                  cfg.model.num_classes))
+        cfg.model = vit_variant_config(ns.model, img_size, num_classes)
+    for key, value in overrides:
+        _set_by_path(cfg, key, value)
     return cfg

@@ -84,6 +84,7 @@ def iterate_packed_batches(
     seed: int = 42,
     num_workers: int = 8,
     skip_images: int = 0,
+    host_shard: Optional[Tuple[int, int]] = None,
 ):
     """Stream the NIH pipeline into fixed-shape packed batches.
 
@@ -102,6 +103,14 @@ def iterate_packed_batches(
       and resume with ``skip_images`` — no re-fetch/re-decode of trained
       data, and next-fit packing of the remaining stream is bit-identical
       to the uninterrupted run's.
+
+    ``host_shard=(rank, num_hosts)`` deterministically shards the epoch
+    image stream BEFORE packing (strided slice ``order[rank::num_hosts]``):
+    each host decodes and packs only its shard, so multi-host packed
+    training scales I/O out with hosts. ``skip_images`` then counts images
+    of THIS host's shard (each host resumes from its own cursor entry —
+    pack boundaries are content-dependent, so per-host consumption
+    differs).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -111,6 +120,9 @@ def iterate_packed_batches(
     offsets = grid_table_offsets(grids)
     n = len(index)
     order = epoch_order(n, epoch, seed, shuffle)
+    if host_shard is not None:
+        rank, num_hosts = host_shard
+        order = order[rank::num_hosts]
     if skip_images:
         order = order[skip_images:]   # resume: skip BEFORE any fetch/decode
     num_classes = index.labels.shape[1]

@@ -61,11 +61,44 @@ def save_safetensors(path: str, params: Mapping[str, Any],
     save_file(sd, path)
 
 
+def write_preprocessor_config(directory: str, img_size: int,
+                              image_mean=None, image_std=None) -> None:
+    """Emit ``preprocessor_config.json`` so
+    ``ViTImageProcessor.from_pretrained(directory)`` reproduces this
+    framework's preprocessing (resize → 1/255 rescale → mean/std
+    normalize). The reference passes ``tokenizer=processor`` to Trainer
+    (pyc L465-L472; ViT-Training.py:120), so its ``save_model()`` output
+    dir loads end-to-end INCLUDING preprocessing — this is the parity
+    file. Defaults are the google/vit processor's 0.5/0.5 (the
+    reference's effective normalization, config.PROCESSOR_MEAN note)."""
+    import json
+    import os
+
+    from chestxray_vit_tpu.config import PROCESSOR_MEAN, PROCESSOR_STD
+
+    cfg = {
+        "image_processor_type": "ViTImageProcessor",
+        "do_resize": True,
+        "size": {"height": img_size, "width": img_size},
+        "resample": 2,                      # PILImageResampling.BILINEAR
+        "do_rescale": True,
+        "rescale_factor": 1.0 / 255.0,
+        "do_normalize": True,
+        "image_mean": list(image_mean or PROCESSOR_MEAN),
+        "image_std": list(image_std or PROCESSOR_STD),
+    }
+    path = os.path.join(os.path.expanduser(directory),
+                        "preprocessor_config.json")
+    with open(path, "w") as f:
+        json.dump(cfg, f, indent=2)
+
+
 def export_hf_folder(directory: str, params: Mapping[str, Any], model_cfg,
-                     classes=None) -> None:
+                     classes=None, image_mean=None, image_std=None) -> None:
     """Write a complete ``from_pretrained``-loadable folder:
     ``model.safetensors`` + an HF ``ViTForImageClassification``
-    config.json (multi-label problem type, id2label from ``classes``)."""
+    config.json (multi-label problem type, id2label from ``classes``) +
+    ``preprocessor_config.json`` (``ViTImageProcessor``-loadable)."""
     import json
     import os
 
@@ -73,6 +106,8 @@ def export_hf_folder(directory: str, params: Mapping[str, Any], model_cfg,
     os.makedirs(directory, exist_ok=True)
     save_safetensors(os.path.join(directory, "model.safetensors"),
                      params, model_cfg.patch_size)
+    write_preprocessor_config(directory, model_cfg.img_size,
+                              image_mean, image_std)
     names = (list(classes) if classes
              else [str(i) for i in range(model_cfg.num_classes)])
     hf_cfg = {

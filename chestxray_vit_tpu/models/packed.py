@@ -131,12 +131,24 @@ def apply_packed(params, tokens: jax.Array, segment_ids: jax.Array,
             + head["bias"].astype(jnp.float32))         # [B, M, C]
 
 
-def packed_bce_loss(logits: jax.Array, labels: jax.Array,
-                    image_mask: jax.Array) -> jax.Array:
-    """Mean BCE over real images only (pad slots masked out)."""
+def packed_bce_parts(logits: jax.Array, labels: jax.Array,
+                     image_mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(numerator, denominator) of the masked mean BCE: element-sum over
+    real images, and real-image × class count. Kept separate so gradient
+    accumulation over micro-batches with UNEQUAL real-image counts stays
+    exact: loss = Σnum_i / Σden_i, grads = Σ∇num_i / Σden_i — averaging
+    per-micro ratios would weight micro-batches by 1/images_i instead of
+    uniformly per image."""
     x = logits.astype(jnp.float32)
     z = labels.astype(jnp.float32)
     per = jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
     m = image_mask[..., None].astype(jnp.float32)       # [B, M, 1]
-    # mean over (real images × classes), matching BCEWithLogits' mean
-    return jnp.sum(per * m) / jnp.maximum(jnp.sum(m) * x.shape[-1], 1.0)
+    return jnp.sum(per * m), jnp.sum(m) * x.shape[-1]
+
+
+def packed_bce_loss(logits: jax.Array, labels: jax.Array,
+                    image_mask: jax.Array) -> jax.Array:
+    """Mean BCE over real images only (pad slots masked out) — mean over
+    (real images × classes), matching BCEWithLogits' mean."""
+    num, den = packed_bce_parts(logits, labels, image_mask)
+    return num / jnp.maximum(den, 1.0)

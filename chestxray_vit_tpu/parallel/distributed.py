@@ -45,6 +45,18 @@ def initialize(coordinator_address: Optional[str] = None,
                     or os.environ.get("CXR_MULTIHOST"))
     if not explicit:
         return
+    # idempotency probe: the distributed client object exists iff
+    # initialize already ran; reading it does NOT initialize the XLA
+    # backend (unlike jax.process_count()), so this is safe to check
+    # first — and precise, unlike matching exception text, which would
+    # swallow genuine failures whose message happens to contain
+    # 'once'/'already'
+    try:
+        from jax._src.distributed import global_state
+        if global_state.client is not None:
+            return
+    except ImportError:
+        pass                       # older/newer layout: rely on the raise
     try:
         kwargs = {}
         if coordinator_address:
@@ -53,10 +65,8 @@ def initialize(coordinator_address: Optional[str] = None,
                           process_id=process_id)
         jax.distributed.initialize(**kwargs)
     except Exception as e:                              # noqa: BLE001
-        msg = str(e).lower()
-        if "once" in msg or "already" in msg:
-            return                 # idempotent: distributed service is up
-        # single-host fallback (the reference's default world too)
+        # single-host fallback (the reference's default world too); an
+        # explicitly-requested cluster that fails must fail loudly
         if coordinator_address:
             raise
         print(f"[distributed] single-host mode ({e})")

@@ -28,15 +28,26 @@ from chestxray_vit_tpu.train.steps import TrainState
 @dataclass
 class DataCursor:
     """Where the input pipeline stands; part of the checkpoint so resume
-    continues mid-epoch instead of replaying data (SURVEY §5 checkpoint)."""
+    continues mid-epoch instead of replaying data (SURVEY §5 checkpoint).
+
+    ``per_host``: multi-host packed training stores each process's own
+    consumed-image count (pack boundaries are content-dependent, so hosts
+    consume unequal image counts per step); ``batch_in_epoch`` then carries
+    the global sum and each process resumes from ``per_host[rank]``.
+    None for dense training (the count is a batch index, identical
+    everywhere)."""
     epoch: int = 0
     batch_in_epoch: int = 0
+    per_host: Optional[list] = None
 
-    def to_dict(self) -> Dict[str, int]:
-        return dataclasses.asdict(self)
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        if self.per_host is None:
+            del d["per_host"]
+        return d
 
     @staticmethod
-    def from_dict(d: Dict[str, int]) -> "DataCursor":
+    def from_dict(d: Dict[str, Any]) -> "DataCursor":
         return DataCursor(**d)
 
 

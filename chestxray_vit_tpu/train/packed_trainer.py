@@ -14,8 +14,18 @@ Notes:
 - steps/epoch comes from a sampled token census driven through the real
   next-fit packer (exact for uniform-resolution data like NIH 1024²), not
   a heuristic bound — the lr schedule and epoch cadence use true steps.
-- the global batch is ``batch_seqs`` sequences, sharded on the data axis
-  (``batch_seqs`` must be divisible by the data-parallel world size).
+- the global batch is ``batch_seqs × gradient_accumulation_steps``
+  sequences per optimizer step (HF TrainingArguments semantics: accum
+  multiplies the effective batch), sharded on the data axis; ``batch_seqs``
+  must be divisible by the data-parallel world size and by the host count.
+- multi-host: each process deterministically shards the epoch image stream
+  BEFORE packing (``order[rank::num_hosts]``), packs its shard into
+  ``batch_seqs / num_hosts`` sequences per micro-batch, and contributes its
+  slice of the global batch (``form_global_batch``). Epochs are capped at
+  the census-agreed ``steps_per_epoch`` on every host so collectives never
+  diverge; the checkpoint cursor stores per-host consumed-image counts
+  (pack boundaries are content-dependent, so hosts consume unequal image
+  counts per step) and each process resumes from its own entry.
 """
 
 from __future__ import annotations
@@ -28,6 +38,7 @@ import numpy as np
 from chestxray_vit_tpu.config import Config
 from chestxray_vit_tpu.data import packing as pk
 from chestxray_vit_tpu.models import packed as packed_model
+from chestxray_vit_tpu.parallel import distributed as dist
 from chestxray_vit_tpu.parallel import mesh as mesh_lib
 from chestxray_vit_tpu.train import checkpoint as ckpt
 from chestxray_vit_tpu.train import steps as S
@@ -43,17 +54,19 @@ class PackedTrainer(Trainer):
         self.batch_seqs = batch_seqs
         self._images_cum = [0]     # cumulative images after k consumed batches
         self._resume_skip = 0
+        self._local_skip = 0
         super().__init__(cfg, **kw)
-        import jax as _jax
-        if _jax.process_count() > 1:
-            raise NotImplementedError(
-                "PackedTrainer is single-host (pack boundaries are "
-                "content-dependent); shard the dataset across hosts "
-                "externally or use the dense Trainer's multi-host path")
+        self._hosts = jax.process_count()
+        if batch_seqs % max(self._hosts, 1):
+            raise ValueError(f"batch_seqs={batch_seqs} not divisible by "
+                             f"host count {self._hosts}")
         dp = mesh_lib.dp_size(self.mesh)
         if batch_seqs % dp:
             raise ValueError(f"batch_seqs={batch_seqs} not divisible by "
                              f"data-parallel world size {dp}")
+        self._accum = max(cfg.train.gradient_accumulation_steps, 1)
+        # sequences one process loads per optimizer step (micro × accum)
+        self._local_step_seqs = (batch_seqs // self._hosts) * self._accum
         # measured epoch accounting: sampled token census through the real
         # next-fit packer (replaces the old min_tokens*4 guess)
         cap = self.seq_len // min(g * g for g in self.grids)
@@ -61,10 +74,14 @@ class PackedTrainer(Trainer):
             self.bundle.train, self.bundle.blob_map, self.bundle.store,
             patch=cfg.model.patch_size, grids=self.grids,
             sample=census_sample, num_workers=cfg.data.num_workers)
-        total_seqs = pk.estimate_sequences_per_epoch(
-            counts, len(self.bundle.train), self.seq_len, cap)
+        # the SMALLEST host shard bounds the agreed epoch length (strided
+        # shards differ by at most one image)
+        n_local_min = len(self.bundle.train) // max(self._hosts, 1)
+        total_seqs_local = pk.estimate_sequences_per_epoch(
+            counts, n_local_min, self.seq_len, cap)
         # tail batch is dropped in training (static shapes, drop_last parity)
-        self.steps_per_epoch = max(total_seqs // batch_seqs, 1)
+        self.steps_per_epoch = max(
+            total_seqs_local // self._local_step_seqs, 1)
         # the base __init__ derived total_steps (the lr-schedule horizon)
         # from dense sample counting; re-derive from true packed steps and
         # re-jit so the schedule decays over real steps
@@ -77,13 +94,13 @@ class PackedTrainer(Trainer):
             self._build_steps()
         # throughput/MFU accounting in packed units: a step consumes
         # ~len(train)/steps_per_epoch images (not the dense global batch)
-        # and costs batch_seqs sequences of seq_len tokens
+        # and costs batch_seqs × accum sequences of seq_len tokens
         from chestxray_vit_tpu.utils import flops as F
         self._images_per_step = max(
             len(self.bundle.train) // self.steps_per_epoch, 1)
         self._flops_per_image = (
             F.packed_flops_per_sequence(cfg.model, self.seq_len)
-            * self.batch_seqs / self._images_per_step)
+            * self.batch_seqs * self._accum / self._images_per_step)
 
     def _has_full_batch(self) -> bool:
         return len(self.bundle.train) > 0
@@ -96,49 +113,94 @@ class PackedTrainer(Trainer):
 
     # ------------------------------------------------------------------
 
-    def _packed_iter(self, index, epoch: int, skip_images: int = 0
+    def _packed_iter(self, index, epoch: int, *, batch_seqs: int,
+                     skip_images: int = 0, host_shard=None, shuffle=True
                      ) -> Iterator[Dict[str, np.ndarray]]:
         return pk.iterate_packed_batches(
             index, self.bundle.blob_map, self.bundle.store,
-            batch_seqs=self.batch_seqs,
+            batch_seqs=batch_seqs,
             patch=self.cfg.model.patch_size,
             seq_len=self.seq_len, grids=self.grids,
-            epoch=epoch, shuffle=True,
+            epoch=epoch, shuffle=shuffle,
             seed=self.cfg.data.shuffle_buffer_seed,
             num_workers=self.cfg.data.num_workers,
-            skip_images=skip_images)
+            skip_images=skip_images,
+            host_shard=host_shard)
 
     def _train_batches(self, epoch: int, skip: int = 0):
         """``skip`` counts IMAGES (not batches): emitted packed batches
         cover a prefix of the epoch order, so skipping the prefix before
         any fetch/decode and re-packing the remainder reproduces the
-        uninterrupted run's batches exactly (see iterate_packed_batches)."""
+        uninterrupted run's batches exactly (see iterate_packed_batches).
+        Multi-host, ``skip`` is the GLOBAL image count from the cursor and
+        this process skips its own ``per_host`` entry of the local shard."""
+        hosts, rank = self._hosts, jax.process_index()
+        if hosts > 1:
+            local_skip = 0
+            if skip:
+                rc = getattr(self, "_restored_cursor", None)
+                if rc is None or rc.per_host is None:
+                    raise ValueError(
+                        "multi-host packed resume needs a cursor with "
+                        "per-host image counts; this checkpoint carries "
+                        "none (was it written by a single-host run?)")
+                local_skip = int(rc.per_host[rank])
+        else:
+            local_skip = skip
         # cumulative image counts are appended at PRODUCE time (this
         # generator runs inside DevicePrefetcher's background thread, up to
         # depth batches ahead of training) but indexed at CONSUME time in
         # _save via the train loop's batch_idx — a checkpoint cursor must
         # count images actually trained, not images sitting in the prefetch
         # queue, or resume would silently skip never-trained data
-        self._resume_skip = skip
-        self._images_cum = cum = [skip]
-        for batch in self._packed_iter(self.bundle.train, epoch,
-                                       skip_images=skip):
+        self._resume_skip = skip       # what the base loop's batch_idx seeds
+        self._local_skip = local_skip
+        self._images_cum = cum = [local_skip]
+        # multi-host epochs are capped at the census-agreed length so every
+        # process issues the same number of collective steps; with exactly
+        # steps_per_epoch batches per epoch, the batches already consumed
+        # this epoch fall out of the global step counter
+        remaining = None
+        if hosts > 1:
+            done = max(int(self.state.step) - epoch * self.steps_per_epoch,
+                       0)
+            remaining = self.steps_per_epoch - done
+            if remaining <= 0:
+                return
+        emitted = 0
+        for batch in self._packed_iter(
+                self.bundle.train, epoch,
+                batch_seqs=self._local_step_seqs,
+                skip_images=local_skip,
+                host_shard=(rank, hosts) if hosts > 1 else None):
             n_seqs = int(batch.pop("n_seqs"))
             n_images = int(batch.pop("n_images"))
-            if n_seqs < self.batch_seqs:
+            if n_seqs < self._local_step_seqs:
                 continue   # drop the zero-padded tail batch (drop_last)
             cum.append(cum[-1] + n_images)
-            yield mesh_lib.shard_batch(self.mesh, batch)
+            yield dist.form_global_batch(self.mesh, batch)
+            emitted += 1
+            if remaining is not None and emitted >= remaining:
+                return
+        if remaining is not None and emitted < remaining:
+            # fewer batches than the agreed epoch length would leave other
+            # hosts blocked in a collective — fail loudly on this one
+            raise RuntimeError(
+                f"host {rank} packed only {emitted}/{remaining} batches "
+                f"this epoch; the token census over-estimated "
+                f"steps_per_epoch for this shard (raise census_sample or "
+                f"lower batch_seqs)")
 
     def _epoch_progress(self, batch_idx: int) -> float:
-        """Images consumed / images per epoch (the base hook divides
-        batch_idx by steps_per_epoch, but packed batch_idx carries an
-        image-count resume offset — mixing the units made resumed runs log
-        epoch fractions in the tens)."""
+        """Images this host consumed / images in its shard (the base hook
+        divides batch_idx by steps_per_epoch, but packed batch_idx carries
+        an image-count resume offset — mixing the units made resumed runs
+        log epoch fractions in the tens)."""
         consumed = batch_idx - self._resume_skip
         if not 0 <= consumed < len(self._images_cum):
             return 0.0
-        return self._images_cum[consumed] / max(len(self.bundle.train), 1)
+        shard = max(len(self.bundle.train) // max(self._hosts, 1), 1)
+        return self._images_cum[consumed] / shard
 
     def _save(self, step: int, epoch: int, batch_idx: int) -> None:
         # the packed cursor stores images consumed, not batch count; the
@@ -147,15 +209,24 @@ class PackedTrainer(Trainer):
         metrics = (self._last_eval_metrics
                    if getattr(self, "_last_eval_step", -1) == step else None)
         consumed = batch_idx - self._resume_skip
-        images = 0 if batch_idx == 0 else self._images_cum[consumed]
-        self.ckpt.save(step, self.state,
-                       cursor=ckpt.DataCursor(epoch, images),
-                       metrics=metrics)
+        images = (self._local_skip if consumed <= 0
+                  else self._images_cum[consumed])
+        if self._hosts > 1:
+            vec = dist.allgather_host_rows(
+                np.asarray([images], np.int64)).reshape(-1)
+            cursor = ckpt.DataCursor(epoch, int(vec.sum()),
+                                     per_host=[int(v) for v in vec])
+        else:
+            cursor = ckpt.DataCursor(epoch, images)
+        self.ckpt.save(step, self.state, cursor=cursor, metrics=metrics)
 
     # ------------------------------------------------------------------
 
     def _forward_all(self, index):
-        """Packed eval: logits per image via masked mean pooling."""
+        """Packed eval: logits per image via masked mean pooling. Every
+        process evaluates the full index (host-local jit, no collectives —
+        duplicated work multi-host, but identical results everywhere, so
+        metric-driven decisions never diverge)."""
         if len(index) == 0:
             c = self.cfg.model.num_classes
             return (np.zeros((0, c), np.float32),
@@ -169,13 +240,9 @@ class PackedTrainer(Trainer):
 
         logits_all, labels_all = [], []
         total_loss, total_n = 0.0, 0
-        for batch in pk.iterate_packed_batches(
-                index, self.bundle.blob_map, self.bundle.store,
-                batch_seqs=self.batch_seqs,
-                patch=self.cfg.model.patch_size,
-                seq_len=self.seq_len, grids=self.grids,
-                epoch=0, shuffle=False,
-                num_workers=self.cfg.data.num_workers):
+        for batch in self._packed_iter(index, 0,
+                                       batch_seqs=self.batch_seqs,
+                                       shuffle=False):
             # batches are always batch_seqs sequences (the generator
             # zero-pads the tail; padded seqs carry image_mask=False, so
             # they drop out of logits/labels/loss below)

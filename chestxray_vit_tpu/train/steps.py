@@ -146,15 +146,28 @@ def make_train_step(cfg: Config, total_steps: int
 
 
 def make_eval_step(cfg: Config) -> Callable[[Params, Dict[str, jax.Array]],
-                                            jax.Array]:
-    """Forward-only step returning f32 logits (gathered to host by the eval
-    loop, like the Trainer's logit all-gather, SURVEY §3.4)."""
+                                            Tuple[jax.Array, jax.Array]]:
+    """Forward-only step returning (f32 logits, per-row BCE element sums).
 
-    def eval_step(params: Params, batch: Dict[str, jax.Array]) -> jax.Array:
+    Logits are gathered to host by the eval loop, like the Trainer's logit
+    all-gather (SURVEY §3.4). The per-row loss sums ride the SAME compiled
+    program so the eval loop pays one dispatch per batch, not two — on a
+    tunneled link (~33 ms/round-trip) the old pattern of re-staging gathered
+    host logits through a separate jitted bce call roughly doubled eval
+    dispatch cost. The host slices off padded rows (pad_last) and divides
+    by n_valid·C for the mean."""
+
+    def eval_step(params: Params, batch: Dict[str, jax.Array]
+                  ) -> Tuple[jax.Array, jax.Array]:
         images = prepare_pixel_values(
             batch, out_size=cfg.model.img_size,
             mean=cfg.data.image_mean, std=cfg.data.image_std)
-        return vit.apply(params, images, cfg.model, train=False)
+        logits = vit.apply(params, images, cfg.model, train=False)
+        x = logits.astype(jnp.float32)
+        z = batch["labels"].astype(jnp.float32)
+        per_elem = (jnp.maximum(x, 0.0) - x * z
+                    + jnp.log1p(jnp.exp(-jnp.abs(x))))
+        return logits, jnp.sum(per_elem, axis=-1)
 
     return eval_step
 
@@ -174,18 +187,58 @@ def make_packed_train_step(cfg: Config, total_steps: int,
         weight_decay=cfg.train.weight_decay,
         max_grad_norm=cfg.train.max_grad_norm)
 
-    def loss_fn(params, batch, step_rng):
+    def loss_parts(params, batch, step_rng):
+        """(BCE element-sum over real images, real-image×class count) —
+        accumulation-exact split, see packed_bce_parts."""
         logits = packed_model.apply_packed(
             params, batch["tokens"], batch["segment_ids"],
             batch["pos_indices"], batch["pool_weights"], cfg.model, grids,
             train=True, rng=step_rng)
-        return packed_model.packed_bce_loss(
+        num, den = packed_model.packed_bce_parts(
             logits, batch["labels"], batch["image_mask"])
+        return num, den
+
+    accum = max(cfg.train.gradient_accumulation_steps, 1)
+
+    def grads_of(params, batch, step_rng):
+        """Loss+grads; with gradient accumulation the batch carries
+        accum × batch_seqs sequences, split strided into accum micro
+        batches scanned sequentially (same trick as the dense path:
+        strided rows keep every device's data-axis shard contributing
+        equally to each micro batch — no cross-device resharding).
+        Numerator gradients and denominators accumulate separately, so the
+        result is bit-exact vs one big batch even when micro batches pack
+        unequal real-image counts."""
+        if accum == 1:
+            (num, den), grads = jax.value_and_grad(
+                loss_parts, has_aux=True)(params, batch, step_rng)
+            d = jnp.maximum(den, 1.0)
+            return num / d, jax.tree.map(lambda g: g / d, grads)
+
+        micro = jax.tree.map(
+            lambda x: x.reshape(x.shape[0] // accum, accum,
+                                *x.shape[1:]).swapaxes(0, 1),
+            batch)
+        rngs = jax.random.split(step_rng, accum)
+
+        def body(carry, mb_rng):
+            num_sum, den_sum, grad_sum = carry
+            mb, r = mb_rng
+            (num, den), g = jax.value_and_grad(
+                loss_parts, has_aux=True)(params, mb, r)
+            return (num_sum + num, den_sum + den,
+                    jax.tree.map(jnp.add, grad_sum, g)), None
+
+        zero = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+                jax.tree.map(jnp.zeros_like, params))
+        (num_sum, den_sum, grad_sum), _ = jax.lax.scan(
+            body, zero, (micro, rngs))
+        d = jnp.maximum(den_sum, 1.0)
+        return num_sum / d, jax.tree.map(lambda g: g / d, grad_sum)
 
     def train_step(state: TrainState, batch):
         rng, step_rng = jax.random.split(state.rng)
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch,
-                                                  step_rng)
+        loss, grads = grads_of(state.params, batch, step_rng)
         grads, grad_norm = opt.clip_by_global_norm(
             grads, adamw_cfg.max_grad_norm)
         lr = schedule(state.step)
@@ -237,6 +290,8 @@ def jit_train_step(train_step, mesh: Mesh, state: TrainState):
 def jit_eval_step(eval_step, mesh: Mesh, params: Params):
     p_sh = param_sharding(mesh, params)
     bt_sh = batch_sharding(mesh)
+    # outputs (logits [B, C], row-loss [B]) both stay batch-sharded; the
+    # prefix sharding covers the whole output tuple
     return jax.jit(
         eval_step,
         in_shardings=(p_sh, bt_sh),

@@ -224,6 +224,9 @@ class Trainer:
             step = (None if cfg.resume_from_checkpoint == "auto"
                     else int(cfg.resume_from_checkpoint))
             self.state, cursor, _ = self.ckpt.restore(step, self.state)
+            # subclasses with richer cursors (packed multi-host stores
+            # per-process image counts) read the full object from here
+            self._restored_cursor = cursor
             print(f"[trainer] resumed at step {int(self.state.step)} "
                   f"(epoch {cursor.epoch}, batch {cursor.batch_in_epoch})")
 
@@ -251,57 +254,67 @@ class Trainer:
             sync_every = max(1, min(16, cfg.logging_steps or 16))
             unmetered_steps = 0
             epoch_exhausted = True
-            for batch in prefetch:
-                self.profiler.maybe_start(step)
-                self.state, metrics = self._train_step(self.state, batch)
-                step += 1
-                batch_idx += 1
-                unmetered_steps += 1
-                if step % sync_every == 0 or self.profiler.in_window(step):
-                    # scalar fetch = device completion barrier; always
-                    # per-step while profiling so stop_trace sees the work
-                    float(metrics["loss"])
-                    self._meter.step(self._images_per_step * unmetered_steps)
-                    unmetered_steps = 0
-                self.profiler.maybe_stop(step)
+            # try/finally: EVERY exit from the batch loop — normal epoch
+            # end, break (max_steps/preemption), or a raising train step
+            # (OOM, NaN guard) — must release the producer thread and its
+            # queued device batches, or in-process reuse (tests,
+            # serve-after-train, notebooks) leaks a thread blocked in put()
+            try:
+                for batch in prefetch:
+                    self.profiler.maybe_start(step)
+                    self.state, metrics = self._train_step(self.state, batch)
+                    step += 1
+                    batch_idx += 1
+                    unmetered_steps += 1
+                    if (step % sync_every == 0
+                            or self.profiler.in_window(step)):
+                        # scalar fetch = device completion barrier; always
+                        # per-step while profiling so stop_trace sees work
+                        float(metrics["loss"])
+                        self._meter.step(
+                            self._images_per_step * unmetered_steps)
+                        unmetered_steps = 0
+                    self.profiler.maybe_stop(step)
 
-                if cfg.logging_steps and step % cfg.logging_steps == 0:
-                    ips = self._meter.images_per_sec
-                    self.logger.log(step, {
-                        "loss": float(metrics["loss"]),
-                        "grad_norm": float(metrics["grad_norm"]),
-                        "lr": float(metrics["lr"]),
-                        "epoch": epoch + self._epoch_progress(batch_idx),
-                        "images_per_sec": ips,
-                        "mfu": (ips / self._n_chips * self._flops_per_image
-                                / self._chip_peak),
-                    })
-                if (cfg.eval_strategy == "steps" and cfg.eval_steps
-                        and step % cfg.eval_steps == 0):
-                    self._last_eval_metrics = self.evaluate()
-                    self._last_eval_step = step
-                    self.logger.log(step, self._last_eval_metrics, "eval")
-                    # don't bill the eval pause to the next window's rate
-                    self._meter.reset()
-                if (cfg.save_strategy == "steps" and cfg.save_steps
-                        and step % cfg.save_steps == 0):
-                    self._save(step, epoch, batch_idx)
-                if step >= self.total_steps:
-                    done = True
-                    epoch_exhausted = False
-                    break
-                if self._stop_requested:
-                    # preemption: persist the exact cursor so
-                    # resume_from_checkpoint=auto continues mid-epoch
-                    self._save(step, epoch, batch_idx)
-                    print(f"[trainer] stop requested: checkpointed at step "
-                          f"{step} (epoch {epoch}, batch {batch_idx})")
-                    done = True
-                    epoch_exhausted = False
-                    break
-            # abandoning iteration early must release the prefetch thread
-            # and its queued device batches (max_steps/preemption mid-epoch)
-            prefetch.close()
+                    if cfg.logging_steps and step % cfg.logging_steps == 0:
+                        ips = self._meter.images_per_sec
+                        self.logger.log(step, {
+                            "loss": float(metrics["loss"]),
+                            "grad_norm": float(metrics["grad_norm"]),
+                            "lr": float(metrics["lr"]),
+                            "epoch": epoch + self._epoch_progress(batch_idx),
+                            "images_per_sec": ips,
+                            "mfu": (ips / self._n_chips
+                                    * self._flops_per_image
+                                    / self._chip_peak),
+                        }, progress=self._progress_text(step, ips))
+                    if (cfg.eval_strategy == "steps" and cfg.eval_steps
+                            and step % cfg.eval_steps == 0):
+                        self._last_eval_metrics = self.evaluate()
+                        self._last_eval_step = step
+                        self.logger.log(step, self._last_eval_metrics,
+                                        "eval")
+                        # don't bill the eval pause to the next window
+                        self._meter.reset()
+                    if (cfg.save_strategy == "steps" and cfg.save_steps
+                            and step % cfg.save_steps == 0):
+                        self._save(step, epoch, batch_idx)
+                    if step >= self.total_steps:
+                        done = True
+                        epoch_exhausted = False
+                        break
+                    if self._stop_requested:
+                        # preemption: persist the exact cursor so
+                        # resume_from_checkpoint=auto continues mid-epoch
+                        self._save(step, epoch, batch_idx)
+                        print(f"[trainer] stop requested: checkpointed at "
+                              f"step {step} (epoch {epoch}, "
+                              f"batch {batch_idx})")
+                        done = True
+                        epoch_exhausted = False
+                        break
+            finally:
+                prefetch.close()
             if epoch_exhausted:
                 if step == step_at_epoch_start and skip == 0:
                     raise ValueError(
@@ -339,6 +352,19 @@ class Trainer:
         self.logger.save_results("train", train_metrics)
         return train_metrics
 
+    def _progress_text(self, step: int, images_per_sec: float) -> str:
+        """``step/total (pct%, eta)`` — the tqdm-style progress the
+        reference gets from HF Trainer (pyc L44), on the logging cadence."""
+        pct = 100.0 * step / max(self.total_steps, 1)
+        remaining = max(self.total_steps - step, 0)
+        if images_per_sec > 0:
+            secs = remaining * self._images_per_step / images_per_sec
+            eta = (f"{secs / 3600:.1f}h" if secs >= 3600 else
+                   f"{secs / 60:.1f}m" if secs >= 60 else f"{secs:.0f}s")
+        else:
+            eta = "?"
+        return f"{step}/{self.total_steps} ({pct:.1f}%, eta {eta})"
+
     def _epoch_progress(self, batch_idx: int) -> float:
         """Fraction of the current epoch consumed (subclass hook — the
         packed path's batch_idx mixes an image-count resume offset)."""
@@ -370,7 +396,7 @@ class Trainer:
             return (np.zeros((0, c), np.float32),
                     np.zeros((0, c), np.float32), 0.0)
         logits_all, labels_all = [], []
-        total_loss, total_n = 0.0, 0
+        total_elem_loss, total_n = 0.0, 0
         for batch in pipe.iterate_batches(
                 loader, self.eval_batch,
                 num_workers=self.cfg.data.num_workers,
@@ -379,18 +405,23 @@ class Trainer:
                 host_range=dist.host_batch_slice(self.eval_batch)):
             n_valid = int(batch.pop("num_valid"))     # global valid count
             placed = dist.form_global_batch(self.mesh, batch)
-            logits = dist.gather_global_rows(
-                self.mesh, self._eval_step(self.state.params, placed))
-            logits = logits[:n_valid]
+            # ONE compiled program per batch: logits + per-row BCE element
+            # sums ride the same dispatch (the loss used to re-stage
+            # gathered host logits through a second jitted call — double
+            # dispatch cost on tunneled links)
+            logits_dev, row_loss_dev = self._eval_step(
+                self.state.params, placed)
+            logits = dist.gather_global_rows(self.mesh, logits_dev)[:n_valid]
+            row_loss = dist.gather_global_rows(
+                self.mesh, row_loss_dev)[:n_valid]
             labels = dist.allgather_host_rows(batch["labels"])[:n_valid]
-            loss = float(S.bce_with_logits(
-                jax.numpy.asarray(logits), jax.numpy.asarray(labels)))
-            total_loss += loss * n_valid
+            total_elem_loss += float(np.sum(row_loss))
             total_n += n_valid
             logits_all.append(logits)
             labels_all.append(labels)
+        c = max(self.cfg.model.num_classes, 1)
         return (np.concatenate(logits_all), np.concatenate(labels_all),
-                total_loss / max(total_n, 1))
+                total_elem_loss / max(total_n * c, 1))
 
     def evaluate(self, index=None) -> Dict[str, float]:
         """avg_auroc (+ per-class) and f1_micro over the val set — the union
@@ -424,6 +455,14 @@ class Trainer:
             os.path.expanduser(self.cfg.train.output_dir), "model")
         ckpt.save_model(directory, self.state.params, self.cfg.to_json(),
                         self.bundle.classes)
+        # reference parity: Trainer(tokenizer=processor).save_model() also
+        # writes preprocessor_config.json (pyc L465-L472), so the output
+        # dir is HF-loadable including preprocessing
+        from chestxray_vit_tpu.models.export_hf import (
+            write_preprocessor_config)
+        write_preprocessor_config(directory, self.cfg.model.img_size,
+                                  self.cfg.data.image_mean,
+                                  self.cfg.data.image_std)
         print(f"[trainer] model saved to {directory}")
 
     def close(self) -> None:

@@ -26,18 +26,23 @@ class MetricLogger:
         self._jsonl = open(os.path.join(self.output_dir, jsonl_name), "a")
         self._tb = None
         if report_to == "tensorboard":
+            # owned tfevents writer (utils/tfevents.py) — TensorBoard-
+            # loadable scalars with zero torch/tensorboard dependency
             try:
-                from torch.utils.tensorboard import SummaryWriter
-                self._tb = SummaryWriter(
-                    log_dir=os.path.join(self.output_dir, "tb"))
+                from chestxray_vit_tpu.utils.tfevents import EventWriter
+                self._tb = EventWriter(os.path.join(self.output_dir, "tb"))
             except Exception as e:                       # noqa: BLE001
                 print(f"[logging] tensorboard writer unavailable: {e}")
 
     def log(self, step: int, metrics: Dict[str, float],
-            prefix: str = "train") -> None:
+            prefix: str = "train", progress: Optional[str] = None) -> None:
+        """``progress`` is a human-readable 'step/total (pct, eta)' string
+        shown on the stdout line only (not a scalar — kept out of
+        jsonl/TensorBoard)."""
         clean = {k: float(v) for k, v in metrics.items()}
         line = " ".join(f"{k}={v:.6g}" for k, v in clean.items())
-        print(f"[{prefix} step {step}] {line}", flush=True)
+        head = f"step {progress}" if progress else f"step {step}"
+        print(f"[{prefix} {head}] {line}", flush=True)
         self._jsonl.write(json.dumps(
             {"step": step, "prefix": prefix, **clean}) + "\n")
         self._jsonl.flush()

@@ -96,10 +96,16 @@ def test_eval_step_sharded(rng):
     params = vit.init_params(jax.random.key(1), cfg.model)
     batch = make_batch(rng, 16, cfg)
     ev = S.jit_eval_step(S.make_eval_step(cfg), mesh, params)
-    logits = ev(params, mesh_lib.shard_batch(mesh, batch))
+    logits, row_loss = ev(params, mesh_lib.shard_batch(mesh, batch))
     assert logits.shape == (16, 5)
+    assert row_loss.shape == (16,)
     ref = vit.apply(params, batch["pixel_values"], cfg.model)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref), atol=1e-5)
+    # the fused per-row BCE element sums reproduce bce_with_logits exactly:
+    # mean over all elements == sum(row sums) / (B * C)
+    ref_loss = float(S.bce_with_logits(ref, batch["labels"]))
+    np.testing.assert_allclose(float(np.sum(row_loss)) / (16 * 5),
+                               ref_loss, atol=1e-6)
 
 
 def test_fsdp_mesh_sharding(rng):
