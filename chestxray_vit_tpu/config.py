@@ -163,6 +163,10 @@ class ModelConfig:
     # Use the Pallas flash-attention kernel on TPU ('auto' falls back to the
     # XLA reference implementation on CPU).
     attention_impl: str = "auto"    # 'auto' | 'pallas' | 'xla'
+    # Fuse the three [D, D] Q/K/V projections into one [D, 3D] matmul
+    # (weights stacked once per step outside the scan; numerics identical).
+    # Opt-in pending measurement — see BENCH_NOTES.md.
+    fused_qkv: bool = False
 
     @property
     def num_patches(self) -> int:

@@ -50,9 +50,23 @@ def _packed_mha(x, bp, cfg: ModelConfig, seg_ids, dropout_rng=None,
     q, k, v = heads(bp["wq"]), heads(bp["wk"]), heads(bp["wv"])
     attn_drop = (train and cfg.attention_dropout > 0.0
                  and dropout_rng is not None)
-    if attn_drop:
-        # HF semantics (dropout on the softmax probabilities) need the
-        # materialized unfused path, exactly like the dense vit._mha
+    use_pallas = cfg.attention_impl == "pallas" or (
+        cfg.attention_impl == "auto" and jax.default_backend() == "tpu")
+    # 384-row Q blocks when they tile the padded sequence (the 1152-token
+    # packed config): fewer dK/dV accumulation revisits, measured faster
+    # than 128-row blocks on the dense 1025-token path (BENCH_NOTES.md)
+    s_pad = ((s + 127) // 128) * 128
+    block_q = 384 if s_pad % 384 == 0 else 128
+    if attn_drop and use_pallas:
+        # HF semantics (dropout on the softmax probabilities), fused: the
+        # Bernoulli mask is generated inside the segment kernel
+        from chestxray_vit_tpu.ops.flash_attention import (
+            flash_attention_packed_dropout)
+        o = flash_attention_packed_dropout(
+            q, k, v, seg_ids, vit._dropout_seed(dropout_rng, 2),
+            cfg.attention_dropout, None, block_q)
+    elif attn_drop:
+        # off-TPU fallback: materialized probabilities + jax.random dropout
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32) / (hd ** 0.5)
         mask = seg_ids[:, None, :, None] == seg_ids[:, None, None, :]
@@ -60,13 +74,7 @@ def _packed_mha(x, bp, cfg: ModelConfig, seg_ids, dropout_rng=None,
         probs = vit._dropout(probs, cfg.attention_dropout, dropout_rng,
                              train, 2)
         o = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
-    elif cfg.attention_impl == "pallas" or (
-            cfg.attention_impl == "auto" and jax.default_backend() == "tpu"):
-        # 384-row Q blocks when they tile the padded sequence (the 1152-token
-        # packed config): fewer dK/dV accumulation revisits, measured faster
-        # than 128-row blocks on the dense 1025-token path (BENCH_NOTES.md)
-        s_pad = ((s + 127) // 128) * 128
-        block_q = 384 if s_pad % 384 == 0 else 128
+    elif use_pallas:
         o = flash_attention_packed(q, k, v, seg_ids, None, block_q)
     else:
         o = attention_xla_packed(q, k, v, seg_ids)

@@ -26,7 +26,11 @@ import jax.ad_checkpoint
 import jax.numpy as jnp
 
 from chestxray_vit_tpu.config import ModelConfig
-from chestxray_vit_tpu.ops.flash_attention import attention, attention_xla
+from chestxray_vit_tpu.ops.flash_attention import (
+    attention,
+    attention_xla,
+    auto_block_q as _auto_block_q,
+)
 from chestxray_vit_tpu.ops.gelu import gelu as _gelu
 from chestxray_vit_tpu.ops.layer_norm import layer_norm as _layer_norm_op
 
@@ -115,14 +119,23 @@ def embed(params: Params, images: jax.Array, cfg: ModelConfig,
     return x + params["pos_embed"].astype(compute_dtype)
 
 
+def _dropout_seed(rng: jax.Array, salt: int) -> jax.Array:
+    """int32 [1] per-step seed for the in-kernel dropout counter hash."""
+    bits = jax.random.bits(jax.random.fold_in(rng, salt), (1,), "uint32")
+    return jax.lax.bitcast_convert_type(bits, jnp.int32)
+
+
 def _mha(x: jax.Array, bp: Params, cfg: ModelConfig,
          attn_impl: str, return_probs: bool = False,
          dropout_rng: Optional[jax.Array] = None, train: bool = False):
     """Multi-head attention, pre-LN input already applied.
 
     ``attention_dropout`` (HF ViTSelfAttention semantics: dropout on the
-    softmax probabilities) routes through the unfused path — the reference
-    fine-tune runs it at 0.0, where the flash kernel handles everything."""
+    softmax probabilities) stays on the fused Pallas path — the Bernoulli
+    mask is generated inside the kernel (fwd and bwd replay the same
+    counter hash), so nonzero rates compile at production batch. Off-TPU
+    the unfused XLA path applies jax.random dropout to the materialized
+    probabilities (a different — equally valid — mask stream)."""
     b, s, d = x.shape
     h, hd = cfg.num_heads, cfg.head_dim
 
@@ -134,13 +147,32 @@ def _mha(x: jax.Array, bp: Params, cfg: ModelConfig,
                 + p["bias"].reshape(h, 1, hd))
 
     name = jax.ad_checkpoint.checkpoint_name
-    q = name(heads(bp["wq"]), "attn_heads")
-    k = name(heads(bp["wk"]), "attn_heads")
-    v = name(heads(bp["wv"]), "attn_heads")
+    if "wqkv" in bp:
+        # fused projection: one [D, 3D] matmul instead of three [D, D]
+        # (x is read from HBM once, not three times); head split still
+        # folded into the epilogue, landing [3, B, H, S, hd]
+        w = bp["wqkv"]["kernel"].reshape(d, 3, h, hd)
+        bias = bp["wqkv"]["bias"].reshape(3, 1, h, 1, hd)
+        qkv = jnp.einsum("bsd,dthk->tbhsk", x, w) + bias
+        q = name(qkv[0], "attn_heads")
+        k = name(qkv[1], "attn_heads")
+        v = name(qkv[2], "attn_heads")
+    else:
+        q = name(heads(bp["wq"]), "attn_heads")
+        k = name(heads(bp["wk"]), "attn_heads")
+        v = name(heads(bp["wv"]), "attn_heads")
     probs = None
     attn_drop = (train and cfg.attention_dropout > 0.0
                  and dropout_rng is not None)
-    if return_probs or attn_drop:
+    use_pallas = attn_impl == "pallas" or (
+        attn_impl == "auto" and jax.default_backend() == "tpu")
+    if attn_drop and use_pallas and not return_probs:
+        from chestxray_vit_tpu.ops.flash_attention import (
+            flash_attention_dropout)
+        o = flash_attention_dropout(
+            q, k, v, _dropout_seed(dropout_rng, 2),
+            cfg.attention_dropout, None, _auto_block_q(s))
+    elif return_probs or attn_drop:
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                             preferred_element_type=jnp.float32) / (hd ** 0.5)
         probs = jax.nn.softmax(scores, axis=-1)
@@ -149,7 +181,9 @@ def _mha(x: jax.Array, bp: Params, cfg: ModelConfig,
                              train, 2)
         o = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
     else:
-        o = attention(q, k, v, impl=attn_impl)
+        # eval/serving (train=False) takes the forward-only kernel — no
+        # lse residual write; bit-identical outputs
+        o = attention(q, k, v, impl=attn_impl, inference=not train)
     # fold the heads-merge transpose into the output projection
     out = (jnp.einsum("bhsk,hkd->bsd", o,
                       bp["wo"]["kernel"].reshape(h, hd, d))
@@ -208,6 +242,20 @@ def apply(params: Params, images: jax.Array, cfg: ModelConfig, *,
     x = embed(params, images, cfg, compute_dtype)
 
     blocks = cast(params["blocks"])
+    if cfg.fused_qkv:
+        # stack per-layer Q/K/V kernels once per step OUTSIDE the scan:
+        # [L, D, 3, D] + [L, 3, D]; the scan body sees a fused 'wqkv' entry
+        blocks = dict(blocks)
+        blocks["wqkv"] = {
+            "kernel": jnp.stack([blocks["wq"]["kernel"],
+                                 blocks["wk"]["kernel"],
+                                 blocks["wv"]["kernel"]], axis=2),
+            "bias": jnp.stack([blocks["wq"]["bias"],
+                               blocks["wk"]["bias"],
+                               blocks["wv"]["bias"]], axis=1),
+        }
+        for k in ("wq", "wk", "wv"):
+            del blocks[k]
 
     def scan_body(carry, layer_params):
         x, key = carry
