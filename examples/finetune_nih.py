@@ -49,6 +49,9 @@ def main() -> int:
                          "in-memory bucket (no data/weights required)")
     ap.add_argument("--set", action="append", default=[],
                     metavar="KEY=VALUE", help="config overrides")
+    ap.add_argument("--expect-band", action="store_true",
+                    help="exit nonzero when the full-run mean AUC lands "
+                         "outside the published 0.77-0.83 band")
     ns = ap.parse_args()
 
     from chestxray_vit_tpu.config import _PRESETS, _set_by_path
@@ -108,6 +111,11 @@ def main() -> int:
     eval_metrics = tr.evaluate()
     print(f"[finetune] train: {train_metrics}")
     print(f"[finetune] eval:  {eval_metrics}")
+    # reference parity artifacts (pyc L482-L491): train_results.json is
+    # written by train(); eval_results.json here; report + saved model next
+    tr.logger.save_results("eval", {
+        k: v for k, v in eval_metrics.items()
+        if isinstance(v, (int, float)) and v == v})
     tr.save_model()
     tr.predict(report_path=os.path.join(
         os.path.expanduser(cfg.train.output_dir),
@@ -117,10 +125,13 @@ def main() -> int:
     auc = eval_metrics.get("avg_auroc", 0.0)
     if not ns.dry_run and not ns.subset:
         band = (0.77, 0.83)
-        verdict = ("WITHIN" if band[0] <= auc <= band[1] + 0.02
-                   else "OUTSIDE")
-        print(f"[finetune] mean AUC {auc:.4f} — {verdict} the published "
+        within = band[0] <= auc <= band[1] + 0.02
+        print(f"[finetune] mean AUC {auc:.4f} — "
+              f"{'WITHIN' if within else 'OUTSIDE'} the published "
               f"ViT/ChestX-ray14 band {band} (BASELINE.md)")
+        if ns.expect_band and not within:
+            print("[finetune] --expect-band: failing the run")
+            return 3
     return 0
 
 

@@ -131,12 +131,12 @@ class _Handler(BaseHTTPRequestHandler):
         m = re.match(r"^/storage/v1/b/([^/]+)/o/(.*)$", path)
         if m:
             bucket, name = m.group(1), urllib.parse.unquote(m.group(2))
+            if qs.get("alt") == "media":
+                return self._download(bucket, name)   # takes the lock itself
             with self.em.lock:
                 blobs = self.em.buckets.get(bucket, {})
                 if name not in blobs:
                     return self._error(404, f"No such object: {name}")
-                if qs.get("alt") == "media":
-                    return self._download(bucket, name)
                 return self._json(200, _obj_meta(bucket, name, blobs[name]))
         m = re.match(r"^/storage/v1/b/([^/]+)/o/?$", path)
         if m:
@@ -199,6 +199,10 @@ class _Handler(BaseHTTPRequestHandler):
         if m:
             bucket = m.group(1)
             upload_type = qs.get("uploadType", "")
+            if "upload_id" in qs:
+                # gcsfs pushes resumable chunks with POST (not PUT) to the
+                # session URL — same wire semantics either way
+                return self._session_chunk(qs["upload_id"])
             if upload_type == "resumable":
                 return self._start_resumable(bucket, qs)
             if upload_type == "multipart":
@@ -251,38 +255,42 @@ class _Handler(BaseHTTPRequestHandler):
         path, qs = self._route()
         m = re.match(r"^/upload/storage/v1/b/([^/]+)/o/?$", path)
         if m and "upload_id" in qs:
-            sid = qs["upload_id"]
-            with self.em.lock:
-                if sid not in self.em.sessions:
-                    return self._error(404, "no such upload session")
-                bucket, name, buf = self.em.sessions[sid]
-            data = self._body()
-            crange = self.headers.get("Content-Range", "")
-            #  bytes 0-99/100  |  bytes */100  |  bytes 0-99/*
-            m2 = re.match(r"bytes (?:(\d+)-(\d+)|\*)/(\d+|\*)", crange)
-            with self.em.lock:
-                if m2 and m2.group(1) is not None:
-                    start = int(m2.group(1))
-                    buf[start:start + len(data)] = data
-                elif data:
-                    buf.extend(data)
-                total = m2.group(3) if m2 else "*"
-                if total != "*" and len(buf) >= int(total):
-                    self.em.bucket(bucket)[name] = bytes(buf)
-                    del self.em.sessions[sid]
-                    return self._json(
-                        200, _obj_meta(bucket, name, bytes(buf)))
-                if not crange:          # single-shot PUT, no Content-Range
-                    self.em.bucket(bucket)[name] = bytes(buf)
-                    del self.em.sessions[sid]
-                    return self._json(
-                        200, _obj_meta(bucket, name, bytes(buf)))
-            # incomplete: 308 Resume Incomplete
-            have = len(buf)
-            return self._send(
-                308, b"", headers={"Range": f"bytes=0-{have - 1}"}
-                if have else {})
+            return self._session_chunk(qs["upload_id"])
         return self._error(404, f"unhandled PUT {path}")
+
+    def _session_chunk(self, sid: str):
+        """One chunk of a resumable session (PUT from the official clients
+        and tensorstore, POST from gcsfs)."""
+        with self.em.lock:
+            if sid not in self.em.sessions:
+                return self._error(404, "no such upload session")
+            bucket, name, buf = self.em.sessions[sid]
+        data = self._body()
+        crange = self.headers.get("Content-Range", "")
+        #  bytes 0-99/100  |  bytes */100  |  bytes 0-99/*
+        m2 = re.match(r"bytes (?:(\d+)-(\d+)|\*)/(\d+|\*)", crange)
+        with self.em.lock:
+            if m2 and m2.group(1) is not None:
+                start = int(m2.group(1))
+                buf[start:start + len(data)] = data
+            elif data:
+                buf.extend(data)
+            total = m2.group(3) if m2 else "*"
+            if total != "*" and len(buf) >= int(total):
+                self.em.bucket(bucket)[name] = bytes(buf)
+                del self.em.sessions[sid]
+                return self._json(
+                    200, _obj_meta(bucket, name, bytes(buf)))
+            if not crange:              # single-shot, no Content-Range
+                self.em.bucket(bucket)[name] = bytes(buf)
+                del self.em.sessions[sid]
+                return self._json(
+                    200, _obj_meta(bucket, name, bytes(buf)))
+        # incomplete: 308 Resume Incomplete
+        have = len(buf)
+        return self._send(
+            308, b"", headers={"Range": f"bytes=0-{have - 1}"}
+            if have else {})
 
     def _multipart(self, bucket: str):
         ctype = self.headers.get("Content-Type", "")

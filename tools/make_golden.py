@@ -1,0 +1,50 @@
+"""Regenerate tests/golden_run.json (the golden-run regression pins).
+
+Run on the virtual CPU mesh (same environment as the test suite):
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python tools/make_golden.py
+
+Only regenerate after an INTENTIONAL numerics change; commit the diff with
+a message saying what moved the trajectory.
+"""
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if "xla_force_host_platform_device_count" not in os.environ.get(
+        "XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8"
+                               ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main() -> int:
+    import pathlib
+
+    from tests.test_golden_run import _run
+
+    with tempfile.TemporaryDirectory() as td:
+        losses, ev = _run(pathlib.Path(td))
+    out = {"losses": losses, "avg_auroc": ev["avg_auroc"],
+           "eval_loss": ev["eval_loss"]}
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "golden_run.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {path}")
+    print(json.dumps(out)[:200])
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
