@@ -14,9 +14,10 @@ from chestxray_vit_tpu.utils.compilation_cache import enable_compilation_cache
 enable_compilation_cache('/root/repo/.xla_cache')
 
 
-def run(rate):
+def run(rate, fused_qkv=False):
     cfg = Config(model=ModelConfig(num_classes=15, remat=True,
-                                   attention_dropout=rate),
+                                   attention_dropout=rate,
+                                   fused_qkv=fused_qkv),
                  train=TrainConfig())
     mesh = mesh_lib.build_mesh()
     params = vit.init_params(jax.random.key(0), cfg.model)
@@ -44,5 +45,7 @@ def run(rate):
 
 if __name__ == "__main__":
     rate = float(sys.argv[1]) if len(sys.argv) > 1 else 0.1
-    ips, loss = run(rate)
-    print(f"rate {rate}: {ips:.1f} img/s loss {loss:.4f}", flush=True)
+    fused = len(sys.argv) > 2 and sys.argv[2] == "fused"
+    ips, loss = run(rate, fused)
+    print(f"rate {rate} fused_qkv={fused}: {ips:.1f} img/s "
+          f"loss {loss:.4f}", flush=True)
