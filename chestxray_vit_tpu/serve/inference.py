@@ -46,7 +46,7 @@ class Predictor:
     def __init__(self, params, cfg: ModelConfig,
                  classes: Optional[Sequence[str]] = None,
                  batch_size: int = 8, canvas_size: int = 1024,
-                 placement: str = "host"):
+                 placement: str = "host", quantize: bool = False):
         """``placement`` picks where crop/pad/resize runs:
 
         - 'host' (default): decode + native C++ crop/pad/resize on host,
@@ -55,6 +55,12 @@ class Predictor:
         - 'device': ship raw u8 canvases + crop boxes (~1 MB/image) and run
           the fused MXU preprocess on chip — the right trade when host CPU
           is the bottleneck.
+
+        ``quantize=True`` serves the int8 MXU forward (2× bf16 peak on
+        v5e): per-channel int8 weights prepared here once, per-token
+        dynamic activation scales, attention/LN/head unchanged
+        (``models/quantized.py``). Probability deltas vs f32 are small and
+        oracle-tested; rollout maps always use the f32 path.
         """
         self.params = params
         self.cfg = cfg
@@ -64,6 +70,13 @@ class Predictor:
         if placement not in ("host", "device"):
             raise ValueError(f"unknown placement {placement!r}")
         self.placement = placement
+        self.quantize = quantize
+        if quantize:
+            from chestxray_vit_tpu.models.quantized import (
+                apply_quantized,
+                quantize_vit_params,
+            )
+            self._qparams = quantize_vit_params(params)
 
         def images_of(staged):
             from chestxray_vit_tpu.ops.preprocess import normalize_u8
@@ -74,9 +87,14 @@ class Predictor:
                                         dtype=jnp.dtype(cfg.dtype))
             return normalize_u8(staged[0], dtype=jnp.dtype(cfg.dtype))
 
-        def forward(params, *staged):
-            logits = vit.apply(params, images_of(staged), cfg)
-            return logits, jax.nn.sigmoid(logits)
+        if quantize:
+            def forward(qparams, *staged):
+                logits = apply_quantized(qparams, images_of(staged), cfg)
+                return logits, jax.nn.sigmoid(logits)
+        else:
+            def forward(params, *staged):
+                logits = vit.apply(params, images_of(staged), cfg)
+                return logits, jax.nn.sigmoid(logits)
 
         self._forward = jax.jit(forward)
 
@@ -85,17 +103,21 @@ class Predictor:
             return logits, jax.nn.sigmoid(logits), maps
 
         self._forward_rollout = jax.jit(forward_rollout)
+        # the plain forward consumes the (possibly quantized) weights; the
+        # rollout path always runs the f32 model (probabilities-as-product)
+        self._fwd_params = self._qparams if quantize else self.params
 
     @classmethod
     def from_model_dir(cls, directory: str, batch_size: int = 8,
-                       placement: str = "host") -> "Predictor":
+                       placement: str = "host",
+                       quantize: bool = False) -> "Predictor":
         with open(os.path.join(os.path.expanduser(directory),
                                "config.json")) as f:
             cfg = Config.from_json(f.read())
         template = vit.init_params(jax.random.key(0), cfg.model)
         params, classes = load_model(directory, template)
         return cls(params, cfg.model, classes, batch_size,
-                   placement=placement)
+                   placement=placement, quantize=quantize)
 
     # ------------------------------------------------------------------
 
@@ -163,9 +185,10 @@ class Predictor:
                 c = self.canvas_size
                 staged = (jnp.zeros((b, c, c), jnp.uint8),
                           jnp.asarray(boxes))
-            fns = [self._forward_rollout] if with_maps else [self._forward]
-            for fn in fns:
-                np.asarray(fn(self.params, *staged)[0])
+            if with_maps:
+                np.asarray(self._forward_rollout(self.params, *staged)[0])
+            else:
+                np.asarray(self._forward(self._fwd_params, *staged)[0])
 
     @staticmethod
     def _bucket(valid: int, bs: int) -> int:
@@ -197,7 +220,7 @@ class Predictor:
                     self.params, *staged)
                 maps_out.append(np.asarray(maps)[:valid])
             else:
-                logits, probs = self._forward(self.params, *staged)
+                logits, probs = self._forward(self._fwd_params, *staged)
             logits_out.append(np.asarray(logits)[:valid])
             probs_out.append(np.asarray(probs)[:valid])
         return PredictOutput(

@@ -161,10 +161,15 @@ def main(argv: Optional[list] = None) -> int:
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--placement", choices=("host", "device"), default="host",
                     help="where crop/pad/resize runs (inference.Predictor)")
+    ap.add_argument("--quantize", action="store_true",
+                    help="serve the int8 MXU forward (2x bf16 peak; "
+                         "per-channel int8 weights, dynamic per-token "
+                         "activation scales — models/quantized.py)")
     ns = ap.parse_args(argv)
     predictor = Predictor.from_model_dir(ns.model_dir,
                                          batch_size=ns.batch_size,
-                                         placement=ns.placement)
+                                         placement=ns.placement,
+                                         quantize=ns.quantize)
     print("[server] warming up (compiling batch buckets)...", flush=True)
     predictor.warmup()
     serve(predictor, ns.host, ns.port)

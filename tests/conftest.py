@@ -20,6 +20,11 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 # Keep CPU tests deterministic and quiet.
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "2")
+# etils epath picks its gs:// backend ONCE at import: force the
+# fsspec/gcsfs backend (honors STORAGE_EMULATOR_HOST) before anything —
+# orbax, another test — imports etils, or the GCS-emulator checkpoint
+# tests get the tf-gfile backend whose endpoint is unoverridable.
+os.environ.setdefault("EPATH_USE_TF", "0")
 
 import jax  # noqa: E402
 

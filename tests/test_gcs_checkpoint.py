@@ -34,6 +34,16 @@ def gcs_env():
     # tensorstore's auth provider otherwise stalls requests hunting for
     # application-default credentials / GCE metadata on this no-egress box
     os.environ["GOOGLE_AUTH_TOKEN_FOR_TESTING"] = "emulator-token"
+    # belt-and-suspenders vs import-order races: etils freezes its gs://
+    # backend at import, so force the fsspec one explicitly too (conftest
+    # sets EPATH_USE_TF=0 early, but a preloaded etils would have cached
+    # the tf-gfile backend whose GCS endpoint cannot be overridden)
+    try:
+        from etils.epath import backend as _bk
+        from etils.epath import gpath as _gp
+        _gp._PREFIX_TO_BACKEND["gs"] = _bk.fsspec_backend
+    except Exception:                                    # noqa: BLE001
+        pass
     # gcsfs instances are cached per-parameter; clear so the emulator env
     # is picked up even if another test created a GCSFileSystem earlier
     try:
