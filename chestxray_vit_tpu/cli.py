@@ -37,6 +37,7 @@ def cmd_train(cfg: Config) -> int:
     eval_metrics = trainer.evaluate()
     trainer.logger.log(int(trainer.state.step), eval_metrics, "eval")
     trainer.logger.save_results("eval", eval_metrics)
+    trainer.save_state()       # trainer_state.json (pyc L485 parity)
     trainer.close()
     print({**metrics, **eval_metrics})
     return 0

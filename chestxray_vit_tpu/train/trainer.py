@@ -465,6 +465,61 @@ class Trainer:
                                   self.cfg.data.image_std)
         print(f"[trainer] model saved to {directory}")
 
+    def save_state(self, path: Optional[str] = None) -> str:
+        """``trainer.save_state()`` parity (pyc L485): write
+        ``trainer_state.json`` — global step, epoch, best metric/step, and
+        the log history replayed from metrics.jsonl — in HF's shape, so
+        downstream tooling that reads Trainer state keeps working."""
+        import json
+        out_dir = os.path.expanduser(self.cfg.train.output_dir)
+        path = path or os.path.join(out_dir, "trainer_state.json")
+        history = []
+        jsonl = os.path.join(self.logger.output_dir, "metrics.jsonl")
+        if os.path.exists(jsonl):
+            with open(jsonl) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue
+                    prefix = rec.pop("prefix", "train")
+                    step = rec.pop("step", 0)
+                    if prefix == "eval":
+                        rec = {f"eval_{k}" if not k.startswith("eval_")
+                               else k: v for k, v in rec.items()}
+                    history.append({"step": step, **rec})
+        best_step = self.ckpt.best_step()
+        # eval records carry HF-style eval_ prefixes in the history
+        keys = (f"eval_{self.cfg.train.metric_for_best_model}",
+                self.cfg.train.metric_for_best_model)
+        best_metric = None
+        if best_step is not None:
+            for rec in reversed(history):
+                if rec["step"] != best_step:
+                    continue
+                for k in keys:
+                    if k in rec:
+                        best_metric = rec[k]
+                        break
+                if best_metric is not None:
+                    break
+        state = {
+            "global_step": int(self.state.step),
+            "max_steps": self.total_steps,
+            "num_train_epochs": self.cfg.train.num_epochs,
+            "logging_steps": self.cfg.train.logging_steps,
+            "eval_steps": self.cfg.train.eval_steps,
+            "save_steps": self.cfg.train.save_steps,
+            "best_metric": best_metric,
+            "best_model_checkpoint": (
+                os.path.join(self.ckpt.directory, str(best_step))
+                if best_step is not None else None),
+            "log_history": history,
+        }
+        with open(path, "w") as f:
+            json.dump(state, f, indent=2)
+        return path
+
     def close(self) -> None:
         self.ckpt.close()
         self.logger.close()

@@ -53,6 +53,22 @@ def test_full_train_eval_predict_cycle(tmp_path, fake):
     # results files (log_metrics/save_metrics parity)
     tr.logger.save_results("eval", ev)
     assert os.path.exists(tmp_path / "out" / "eval_results.json")
+
+    # trainer_state.json parity (reference calls save_state, pyc L485)
+    import json
+    path = tr.save_state()
+    state = json.load(open(path))
+    # total_steps is the lr-schedule horizon (an estimate of steps/epoch);
+    # global_step is the truth of what actually ran
+    assert state["global_step"] == int(tr.state.step)
+    assert state["max_steps"] == tr.total_steps
+    assert len(state["log_history"]) > 0
+    assert any("loss" in rec for rec in state["log_history"])
+    assert any(k.startswith("eval_") for rec in state["log_history"]
+               for k in rec)
+    # best checkpoint recorded with its metric value
+    assert state["best_model_checkpoint"] is not None
+    assert state["best_metric"] is not None
     tr.close()
 
 
