@@ -147,11 +147,10 @@ def packed_bce_parts(logits: jax.Array, labels: jax.Array,
     exact: loss = Σnum_i / Σden_i, grads = Σ∇num_i / Σden_i — averaging
     per-micro ratios would weight micro-batches by 1/images_i instead of
     uniformly per image."""
-    x = logits.astype(jnp.float32)
-    z = labels.astype(jnp.float32)
-    per = jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    from chestxray_vit_tpu.train.steps import bce_elements
+    per = bce_elements(logits, labels)
     m = image_mask[..., None].astype(jnp.float32)       # [B, M, 1]
-    return jnp.sum(per * m), jnp.sum(m) * x.shape[-1]
+    return jnp.sum(per * m), jnp.sum(m) * logits.shape[-1]
 
 
 def packed_bce_loss(logits: jax.Array, labels: jax.Array,

@@ -84,6 +84,21 @@ def barrier(name: str = "barrier") -> None:
         multihost_utils.sync_global_devices(name)
 
 
+def agree_flag(flag: bool) -> bool:
+    """Logical OR of a per-process flag across all processes (identity on
+    one process). Used to agree on preemption stops: checkpoint saves are
+    COLLECTIVE multi-process operations, so every process must decide to
+    stop at the SAME step — a signal landing on one host at step N and on
+    another at N+1 would pair the save collectives across different steps
+    (deadlock or corrupt cursor)."""
+    if jax.process_count() == 1:
+        return flag
+    from jax.experimental import multihost_utils
+    votes = multihost_utils.process_allgather(
+        np.asarray([1 if flag else 0], np.int32))
+    return bool(np.asarray(votes).any())
+
+
 def host_shard_range(n: int) -> range:
     """Which global sample indices this host loads: contiguous shard of the
     global batch. Each host decodes only its slice; the global array is

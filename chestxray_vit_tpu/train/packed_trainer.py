@@ -144,6 +144,16 @@ class PackedTrainer(Trainer):
                         "multi-host packed resume needs a cursor with "
                         "per-host image counts; this checkpoint carries "
                         "none (was it written by a single-host run?)")
+                if len(rc.per_host) != hosts:
+                    # a different host count reshapes every shard
+                    # (order[rank::H]); silently reusing counts would
+                    # train some images twice and skip others
+                    raise ValueError(
+                        f"checkpoint cursor was written by "
+                        f"{len(rc.per_host)} hosts but this run has "
+                        f"{hosts}; mid-epoch packed resume cannot change "
+                        f"the host count (resume from an epoch boundary "
+                        f"or restore the original topology)")
                 local_skip = int(rc.per_host[rank])
         else:
             local_skip = skip
@@ -209,8 +219,16 @@ class PackedTrainer(Trainer):
         metrics = (self._last_eval_metrics
                    if getattr(self, "_last_eval_step", -1) == step else None)
         consumed = batch_idx - self._resume_skip
-        images = (self._local_skip if consumed <= 0
-                  else self._images_cum[consumed])
+        if batch_idx == 0:
+            # epoch-boundary save: a NEW epoch starts from image 0 — the
+            # resume offset belongs to the epoch that just finished and
+            # must not leak into the fresh cursor (it would make a later
+            # resume skip never-trained data)
+            images = 0
+        elif consumed <= 0:
+            images = self._local_skip       # resumed, nothing consumed yet
+        else:
+            images = self._images_cum[consumed]
         if self._hosts > 1:
             vec = dist.allgather_host_rows(
                 np.asarray([images], np.int64)).reshape(-1)
@@ -222,11 +240,33 @@ class PackedTrainer(Trainer):
 
     # ------------------------------------------------------------------
 
+    def _eval_params(self):
+        """Params for the host-local packed eval jit. Single-process: the
+        live global tree. Multi-host: global arrays can't feed a host-local
+        jit, so take each leaf's addressable replica — valid only when
+        params are fully replicated (pure data parallelism, the packed
+        trainer's supported layout); fsdp/tensor-sharded params would need
+        a cross-host gather and fail loudly here instead of crashing
+        inside jax with an opaque non-addressable error."""
+        if self._hosts == 1:
+            return self.state.params
+
+        def local(x):
+            if getattr(x, "is_fully_replicated", True):
+                return jax.device_put(np.asarray(x.addressable_data(0)),
+                                      jax.local_devices()[0])
+            raise NotImplementedError(
+                "multi-host packed eval needs fully-replicated params "
+                "(data-parallel mesh); fsdp/tensor-sharded packed eval "
+                "is not supported")
+        return jax.tree.map(local, self.state.params)
+
     def _forward_all(self, index):
         """Packed eval: logits per image via masked mean pooling. Every
-        process evaluates the full index (host-local jit, no collectives —
-        duplicated work multi-host, but identical results everywhere, so
-        metric-driven decisions never diverge)."""
+        process evaluates the full index (host-local jit on its local
+        replica of the params, no collectives — duplicated work
+        multi-host, but identical results everywhere, so metric-driven
+        decisions never diverge)."""
         if len(index) == 0:
             c = self.cfg.model.num_classes
             return (np.zeros((0, c), np.float32),
@@ -237,6 +277,7 @@ class PackedTrainer(Trainer):
                 lambda params, t, s, p, w: packed_model.apply_packed(
                     params, t, s, p, w, self.cfg.model, self.grids))
         fwd = self._packed_fwd
+        eval_params = self._eval_params()
 
         logits_all, labels_all = [], []
         total_loss, total_n = 0.0, 0
@@ -249,7 +290,7 @@ class PackedTrainer(Trainer):
             batch.pop("n_seqs")
             batch.pop("n_images")
             logits = np.asarray(fwd(
-                self.state.params,
+                eval_params,
                 jax.numpy.asarray(batch["tokens"]),
                 jax.numpy.asarray(batch["segment_ids"]),
                 jax.numpy.asarray(batch["pos_indices"]),

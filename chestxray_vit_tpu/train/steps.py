@@ -33,15 +33,21 @@ Params = Any
 # Loss: multi-label BCE-with-logits (sigmoid folded in, SURVEY §7 step 5)
 # ---------------------------------------------------------------------------
 
+def bce_elements(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Element-wise numerically-stable BCEWithLogits — the ONE copy of the
+    max(x,0) − x·z + log1p(exp(−|x|)) formula (the mean/sum reductions and
+    the packed mask differ per call site, the element math must not)."""
+    x = logits.astype(jnp.float32)
+    z = labels.astype(jnp.float32)
+    return jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+
 def bce_with_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """Numerically-stable BCEWithLogits, mean over all elements — identical
     reduction to torch.nn.BCEWithLogitsLoss, which HF picks for multi-label
     heads (ViT-Training.py:89 sets problem_type explicitly; Version B gets it
     inferred from float multi-hot labels, SURVEY §2.2 loss subtlety)."""
-    x = logits.astype(jnp.float32)
-    z = labels.astype(jnp.float32)
-    per_elem = jnp.maximum(x, 0.0) - x * z + jnp.log1p(jnp.exp(-jnp.abs(x)))
-    return jnp.mean(per_elem)
+    return jnp.mean(bce_elements(logits, labels))
 
 
 # ---------------------------------------------------------------------------
@@ -163,11 +169,8 @@ def make_eval_step(cfg: Config) -> Callable[[Params, Dict[str, jax.Array]],
             batch, out_size=cfg.model.img_size,
             mean=cfg.data.image_mean, std=cfg.data.image_std)
         logits = vit.apply(params, images, cfg.model, train=False)
-        x = logits.astype(jnp.float32)
-        z = batch["labels"].astype(jnp.float32)
-        per_elem = (jnp.maximum(x, 0.0) - x * z
-                    + jnp.log1p(jnp.exp(-jnp.abs(x))))
-        return logits, jnp.sum(per_elem, axis=-1)
+        return logits, jnp.sum(bce_elements(logits, batch["labels"]),
+                               axis=-1)
 
     return eval_step
 

@@ -303,7 +303,16 @@ class Trainer:
                         done = True
                         epoch_exhausted = False
                         break
-                    if self._stop_requested:
+                    # multi-host: saves are collective, so the stop
+                    # decision must be agreed — a signal lands on hosts at
+                    # different steps; vote on the sync cadence (bounded
+                    # ≤sync_every steps of preemption latency) so every
+                    # process checkpoints at the SAME step
+                    stop = self._stop_requested
+                    if jax.process_count() > 1:
+                        stop = (step % sync_every == 0
+                                and dist.agree_flag(self._stop_requested))
+                    if stop:
                         # preemption: persist the exact cursor so
                         # resume_from_checkpoint=auto continues mid-epoch
                         self._save(step, epoch, batch_idx)

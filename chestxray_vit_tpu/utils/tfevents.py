@@ -114,6 +114,10 @@ class EventWriter:
     def add_scalar(self, tag: str, value: float, step: int) -> None:
         self._f.write(_record(_scalar_event(tag, float(value), int(step),
                                             time.time())))
+        # per-event flush, like metrics.jsonl: a live TensorBoard must see
+        # scalars as they land, and a SIGKILL mid-run must not lose the
+        # buffered tail (scalar events are tiny; flush cost is noise)
+        self._f.flush()
 
     def flush(self) -> None:
         self._f.flush()

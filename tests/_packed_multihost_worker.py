@@ -65,6 +65,9 @@ def main() -> int:
     assert tr._hosts == 2 and tr._local_step_seqs == 4
     tr.train()
     tr.ckpt.wait()
+    # multi-host packed eval: host-local jit on the local param replica —
+    # must run (not crash on global arrays) and agree across ranks
+    ev = tr.evaluate()
     # the persisted cursor must carry per-host image counts
     _, cursor, _ = tr.ckpt.restore(tr.ckpt.latest_step(), tr.state)
     tr.close()
@@ -83,6 +86,8 @@ def main() -> int:
                    "cursor": {"epoch": cursor.epoch,
                               "batch_in_epoch": cursor.batch_in_epoch,
                               "per_host": cursor.per_host},
+                   "eval": {"avg_auroc": ev["avg_auroc"],
+                            "eval_loss": ev["eval_loss"]},
                    "steps_per_epoch": tr.steps_per_epoch,
                    "process_count": jax.process_count()}, f)
     return 0

@@ -74,6 +74,18 @@ def test_cursor_carries_per_host_image_counts(packed_multihost_results):
     assert all(v > 0 for v in cur["per_host"])
 
 
+def test_multihost_packed_eval_runs_and_agrees(packed_multihost_results):
+    """Eval on the 2-process cluster (host-local jit over local param
+    replicas): runs without touching non-addressable global arrays and
+    produces identical metrics on both ranks."""
+    r0, r1 = packed_multihost_results
+    np.testing.assert_allclose(r0["eval"]["avg_auroc"],
+                               r1["eval"]["avg_auroc"], rtol=1e-6)
+    np.testing.assert_allclose(r0["eval"]["eval_loss"],
+                               r1["eval"]["eval_loss"], rtol=1e-6)
+    assert np.isfinite(r0["eval"]["eval_loss"])
+
+
 def test_two_process_packed_matches_in_process_simulation(
         packed_multihost_results):
     """Rebuild each host's packed stream (order[rank::2], 4 seqs/step),

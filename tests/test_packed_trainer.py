@@ -203,3 +203,24 @@ def test_streaming_packer_rejects_oversized_image(fake_varres):
             bundle.train, bundle.blob_map, fake_varres.store,
             batch_seqs=2, patch=16, seq_len=8, grids=GRIDS,
             epoch=0, shuffle=False, num_workers=2))
+
+
+def test_epoch_boundary_save_after_resume_writes_zero_cursor(tmp_path):
+    """Regression (round-3 review): an epoch-boundary _save (batch_idx=0)
+    issued AFTER a mid-epoch resume must write image count 0 for the new
+    epoch — not leak the previous epoch's resume offset, which would make
+    a later resume skip never-trained data."""
+    fake = build_fake_nih(num_images=60, image_size=64, seed=9)
+    cfg = _cfg(tmp_path)
+    tr = PackedTrainer(cfg, seq_len=48, grids=GRIDS, batch_seqs=8,
+                       store=fake.store, pretrained=False, census_sample=4)
+    # simulate the state after resuming mid-epoch with 30 images consumed
+    tr._resume_skip = 30
+    tr._local_skip = 30
+    tr._images_cum = [30]
+    tr._save(step=5, epoch=1, batch_idx=0)   # new-epoch boundary save
+    tr.ckpt.wait()
+    _, cursor, _ = tr.ckpt.restore(5, tr.state)
+    assert cursor.epoch == 1
+    assert cursor.batch_in_epoch == 0
+    tr.close()
