@@ -283,6 +283,10 @@ class TrainConfig:
     # job, SURVEY §5): SIGTERM/SIGINT triggers one final checkpoint before
     # a clean exit, so `resume_from_checkpoint=auto` continues exactly.
     save_on_preemption: bool = True
+    # Divergence guard (beyond the reference): a non-finite loss observed
+    # at a sync point raises immediately with the step number instead of
+    # silently training on garbage for the rest of the run. 'off' disables.
+    nan_guard: str = "raise"                # 'raise' | 'off'
     seed: int = 42
     output_dir: str = "./outputs"
     report_to: str = "tensorboard"          # B (pyc L453); A: 'none'

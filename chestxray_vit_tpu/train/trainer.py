@@ -270,7 +270,18 @@ class Trainer:
                             or self.profiler.in_window(step)):
                         # scalar fetch = device completion barrier; always
                         # per-step while profiling so stop_trace sees work
-                        float(metrics["loss"])
+                        loss_val = float(metrics["loss"])
+                        if (cfg.nan_guard == "raise"
+                                and not math.isfinite(loss_val)):
+                            # divergence guard: fail at the sync point it
+                            # becomes visible, not epochs later — the last
+                            # good checkpoint is the recovery path
+                            raise FloatingPointError(
+                                f"non-finite loss ({loss_val}) at step "
+                                f"{step}; training diverged — resume from "
+                                f"the last checkpoint with a lower lr or "
+                                f"stronger clipping "
+                                f"(set train.nan_guard=off to disable)")
                         self._meter.step(
                             self._images_per_step * unmetered_steps)
                         unmetered_steps = 0

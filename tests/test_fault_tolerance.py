@@ -131,3 +131,49 @@ def test_sigterm_handler_requests_stop(tmp_path):
     finally:
         restore()
         tr.close()
+
+
+def test_nan_guard_raises_at_sync_point(tmp_path):
+    """Divergence guard: a non-finite loss surfacing at a sync point
+    raises immediately with the step number instead of training on."""
+    fake = build_fake_nih(num_images=40, image_size=64, seed=2)
+    cfg = _cfg(tmp_path)
+    cfg.train.max_steps = 6
+    cfg.train.logging_steps = 2           # sync cadence = 2
+    tr = Trainer(cfg, store=fake.store, pretrained=False)
+
+    real_step = tr._train_step
+    calls = {"n": 0}
+
+    def poisoned(state, batch):
+        state, metrics = real_step(state, batch)
+        calls["n"] += 1
+        if calls["n"] >= 3:
+            metrics = dict(metrics)
+            metrics["loss"] = metrics["loss"] * float("nan")
+        return state, metrics
+
+    tr._train_step = poisoned
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        tr.train()
+    tr.close()
+
+    # guard off: the same poison trains to completion
+    cfg2 = _cfg(tmp_path)
+    cfg2.train.max_steps = 6
+    cfg2.train.logging_steps = 2
+    cfg2.train.nan_guard = "off"
+    cfg2.train.output_dir = str(tmp_path / "out2")
+    tr2 = Trainer(cfg2, store=fake.store, pretrained=False)
+    real2 = tr2._train_step
+
+    def poisoned2(state, batch):
+        state, metrics = real2(state, batch)
+        metrics = dict(metrics)
+        metrics["loss"] = metrics["loss"] * float("nan")
+        return state, metrics
+
+    tr2._train_step = poisoned2
+    tr2.train()                            # no raise
+    assert int(tr2.state.step) == 6
+    tr2.close()
