@@ -64,7 +64,10 @@ def cmd_predict(cfg: Config) -> int:
         trainer.state, _, _ = trainer.ckpt.restore(step, trainer.state)
     report = os.path.join(os.path.expanduser(cfg.train.output_dir),
                           "final_classification_report.txt")
-    _, _, metrics = trainer.predict(report_path=report)
+    # --set train.calibrate_thresholds=1 fits per-class thresholds on val
+    _, _, metrics = trainer.predict(
+        report_path=report,
+        calibrate=cfg.train.calibrate_thresholds)
     trainer.close()
     print(metrics)
     return 0

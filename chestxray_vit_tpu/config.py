@@ -287,6 +287,10 @@ class TrainConfig:
     # at a sync point raises immediately with the step number instead of
     # silently training on garbage for the rest of the run. 'off' disables.
     nan_guard: str = "raise"                # 'raise' | 'off'
+    # predict CLI: fit per-class decision thresholds on the validation
+    # split (max per-class F1) instead of the reference's fixed 0.5
+    # before writing the test classification report.
+    calibrate_thresholds: bool = False
     seed: int = 42
     output_dir: str = "./outputs"
     report_to: str = "tensorboard"          # B (pyc L453); A: 'none'

@@ -128,13 +128,46 @@ def compute_metrics(logits: np.ndarray | jax.Array,
     return out
 
 
+def calibrate_thresholds(logits: np.ndarray, labels: np.ndarray
+                         ) -> np.ndarray:
+    """Per-class decision thresholds maximizing per-class F1 on a held-out
+    (validation) set — the principled replacement for the fixed 0.5 the
+    reference's report uses (ViT-Training.py:139), which is usually far
+    from optimal for imbalanced multi-label targets.
+
+    Exact sweep per class in O(N log N): sort probabilities descending;
+    predicting the top-k flips one sample at a time, so
+    F1(k) = 2·tp_k / (k + P) with tp_k a cumulative sum. The returned
+    threshold is the midpoint between the k-th and (k+1)-th probability.
+    Degenerate classes (no positives) keep 0.5.
+    """
+    probs = 1.0 / (1.0 + np.exp(-np.asarray(logits, dtype=np.float64)))
+    lab = np.asarray(labels).astype(np.float64)
+    n, c = probs.shape
+    out = np.full(c, 0.5)
+    for j in range(c):
+        pos = lab[:, j].sum()
+        if pos == 0 or n == 0:
+            continue
+        order = np.argsort(-probs[:, j])
+        p_sorted = probs[order, j]
+        tp = np.cumsum(lab[order, j])
+        k = np.arange(1, n + 1)
+        f1 = 2.0 * tp / (k + pos)
+        best = int(np.argmax(f1))
+        lo = p_sorted[best]
+        hi = p_sorted[best + 1] if best + 1 < n else 0.0
+        out[j] = (lo + hi) / 2.0
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Host-side classification report (sklearn text-format parity)
 # ---------------------------------------------------------------------------
 
 def classification_report(logits: np.ndarray, labels: np.ndarray,
                           class_names: Sequence[str],
-                          threshold: float = 0.5) -> str:
+                          threshold: "float | np.ndarray" = 0.5) -> str:
     """sklearn-style multilabel classification report text
     (ViT-Training.py:145-148 writes this to final_classification_report.txt).
     Rows: per-class precision/recall/f1/support; footer: micro, macro,
@@ -144,7 +177,9 @@ def classification_report(logits: np.ndarray, labels: np.ndarray,
     disagree on boundary logits and print an internally inconsistent
     report."""
     probs = 1.0 / (1.0 + np.exp(-np.asarray(logits, dtype=np.float64)))
-    pred = (probs >= threshold).astype(np.int64)
+    # threshold broadcasts: scalar (reference 0.5) or per-class [C]
+    # (calibrate_thresholds output)
+    pred = (probs >= np.asarray(threshold)).astype(np.int64)
     lab = np.asarray(labels).astype(np.int64)
     tp_c = (pred * lab).sum(0).astype(np.float64)
     fp_c = (pred * (1 - lab)).sum(0).astype(np.float64)
@@ -196,8 +231,29 @@ def classification_report(logits: np.ndarray, labels: np.ndarray,
 
 def write_classification_report(path: str, logits: np.ndarray,
                                 labels: np.ndarray,
-                                class_names: Sequence[str]) -> str:
-    text = classification_report(logits, labels, class_names)
+                                class_names: Sequence[str],
+                                threshold: "float | np.ndarray" = 0.5
+                                ) -> str:
+    text = classification_report(logits, labels, class_names, threshold)
+    if np.ndim(threshold) > 0:
+        text += ("\ncalibrated per-class thresholds: "
+                 + ", ".join(f"{n}={t:.3f}"
+                             for n, t in zip(class_names,
+                                             np.asarray(threshold))) + "\n")
     with open(path, "w") as f:
         f.write(text)
     return text
+
+
+def f1_micro_at(logits: np.ndarray, labels: np.ndarray,
+                threshold: "float | np.ndarray") -> float:
+    """Host micro-F1 at a scalar or per-class threshold (f64 sigmoid,
+    matching the report's own thresholding)."""
+    probs = 1.0 / (1.0 + np.exp(-np.asarray(logits, dtype=np.float64)))
+    pred = (probs >= np.asarray(threshold)).astype(np.int64)
+    lab = np.asarray(labels).astype(np.int64)
+    tp = float((pred * lab).sum())
+    fp = float((pred * (1 - lab)).sum())
+    fn = float(((1 - pred) * lab).sum())
+    denom = 2 * tp + fp + fn
+    return 2 * tp / denom if denom else 0.0

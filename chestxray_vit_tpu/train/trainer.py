@@ -453,18 +453,31 @@ class Trainer:
         out["eval_loss"] = loss
         return out
 
-    def predict(self, index=None, report_path: Optional[str] = None
+    def predict(self, index=None, report_path: Optional[str] = None,
+                calibrate: bool = False
                 ) -> Tuple[np.ndarray, np.ndarray, Dict[str, float]]:
         """Version A's final test pass (ViT-Training.py:135-149): predict on
-        test, optional classification report written to disk."""
+        test, optional classification report written to disk.
+
+        ``calibrate=True`` fits per-class decision thresholds on the
+        VALIDATION split (max per-class F1) and applies them to the test
+        report — beyond the reference's fixed 0.5, which is usually far
+        from optimal on imbalanced multi-label targets. Calibration never
+        touches the test labels."""
         index = index if index is not None else self.bundle.test
         logits, labels, loss = self._forward_all(index)
         metrics = M.compute_metrics(logits, labels, self.bundle.classes)
         metrics["test_loss"] = loss
+        threshold: "float | np.ndarray" = 0.5
+        if calibrate:
+            val_logits, val_labels, _ = self._forward_all(self.bundle.val)
+            threshold = M.calibrate_thresholds(val_logits, val_labels)
+            metrics["f1_micro_calibrated"] = M.f1_micro_at(
+                logits, labels, threshold)
         if report_path:
             text = M.write_classification_report(
                 os.path.expanduser(report_path), logits,
-                labels.astype(np.int64), self.bundle.classes)
+                labels.astype(np.int64), self.bundle.classes, threshold)
             print(text)
         return logits, labels, metrics
 
