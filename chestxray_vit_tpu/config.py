@@ -114,6 +114,12 @@ class DataConfig:
     # Augmentation for the Version-A parity path (ViT-Training.py:62-63):
     # RandomResizedCrop(img_size) + RandomHorizontalFlip on train.
     augment: bool = False
+    # Mixup (beyond the reference; Zhang et al. 2018 adapted to
+    # multi-label BCE): λ ~ Beta(α, α) per step, partners are the
+    # batch rolled by one (a cheap neighbor ppermute under data-axis
+    # sharding — no all-to-all gather), images AND multi-hot labels mixed
+    # inside the jitted train step. 0.0 disables.
+    mixup_alpha: float = 0.0
 
     # Where the crop/pad/resize/normalize chain runs (SURVEY §3.3):
     # 'host' resizes on the CPU and ships u8 384² grayscale (fewest

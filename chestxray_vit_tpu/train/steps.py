@@ -88,13 +88,27 @@ def make_train_step(cfg: Config, total_steps: int
         weight_decay=cfg.train.weight_decay,
         max_grad_norm=cfg.train.max_grad_norm)
 
+    mixup_alpha = getattr(cfg.data, "mixup_alpha", 0.0)
+
     def loss_fn(params: Params, batch: Dict[str, jax.Array],
                 rng: jax.Array) -> Tuple[jax.Array, jax.Array]:
         images = prepare_pixel_values(
             batch, out_size=cfg.model.img_size,
             mean=cfg.data.image_mean, std=cfg.data.image_std)
+        labels = batch["labels"]
+        if mixup_alpha > 0.0:
+            # device-side mixup: one λ ~ Beta(α, α) per step; partner is
+            # the batch rolled by one — a neighbor ppermute under
+            # data-axis sharding, where a random permutation would be an
+            # all-to-all gather. Soft multi-hot labels feed BCE directly.
+            lam = jax.random.beta(jax.random.fold_in(rng, 7),
+                                  mixup_alpha, mixup_alpha)
+            images = lam * images + (1.0 - lam) * jnp.roll(images, 1, 0)
+            labels = (lam * labels.astype(jnp.float32)
+                      + (1.0 - lam) * jnp.roll(labels, 1, 0)
+                      .astype(jnp.float32))
         logits = vit.apply(params, images, cfg.model, train=True, rng=rng)
-        return bce_with_logits(logits, batch["labels"]), logits
+        return bce_with_logits(logits, labels), logits
 
     accum = max(cfg.train.gradient_accumulation_steps, 1)
 
