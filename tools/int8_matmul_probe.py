@@ -1,7 +1,19 @@
 """Raw int8 vs bf16 matmul throughput at ViT shapes — does XLA lower
 int8×int8→int32 to the double-rate MXU path on this stack?
 
-Usage: python tools/int8_matmul_probe.py
+Measurement notes (v2 — the first version of this probe was wrong):
+- the original chained 24 dots and synced EVERY chain; at ~33 ms tunnel
+  dispatch round-trip the measured 31 ms/chain was the sync floor, not
+  the MXU (it reported 33.3 TFLOP/s for BOTH dtypes — i.e. nothing).
+- `acc + y[0, 0]` also invites XLA to simplify slice-of-dot into a
+  vector dot; and `sum(y)` can fold into two matvecs
+  (1ᵀA·B1). The epilogue must be non-linear: max(y) fuses as a
+  reduction epilogue but cannot be rewritten through the contraction.
+- fix: 96 distinct-weight dots per compiled chain (≥4 TFLOP of real
+  work, ~25 ms at peak ≫ any per-dispatch cost) and sync every 4
+  dispatches, like tools/matmul_peak.py.
+
+Usage: python tools/int8_matmul_probe.py [chain]
 """
 
 import os
@@ -16,47 +28,46 @@ import numpy as np
 def main() -> None:
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     m, k, n = 36864, 768, 768          # b64 × 576 tokens, ViT-B proj shape
-    chain = 24
+    chain = int(sys.argv[1]) if len(sys.argv) > 1 else 96
     rng = np.random.default_rng(0)
     a8 = jnp.asarray(rng.integers(-127, 127, (m, k)), jnp.int8)
     b8 = jnp.asarray(rng.integers(-127, 127, (chain, k, n)), jnp.int8)
     abf = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
     bbf = jnp.asarray(rng.standard_normal((chain, k, n)), jnp.bfloat16)
 
-    @jax.jit
-    def chain_i8(a, bs):
-        # 24 independent contractions (distinct weights) amortize the
-        # ~4 ms tunnel sync floor without inter-matmul data movement
-        acc = jnp.zeros((), jnp.int32)
-        for i in range(chain):
-            y = jax.lax.dot_general(a, bs[i], (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.int32)
-            acc = acc + y[0, 0]
-        return acc
-
-    @jax.jit
-    def chain_bf(a, bs):
-        acc = jnp.zeros((), jnp.float32)
-        for i in range(chain):
-            y = jax.lax.dot_general(a, bs[i], (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            acc = acc + y[0, 0]
-        return acc
+    def make_chain(acc_t):
+        @jax.jit
+        def f(a, bs):
+            def body(acc, b):
+                y = lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=acc_t)
+                # max() is a fused reduction epilogue XLA cannot rewrite
+                # through the contraction (unlike slices or plain sums)
+                return acc + jnp.max(y), None
+            acc, _ = lax.scan(body, jnp.zeros((), acc_t), bs)
+            return acc
+        return f
 
     flops = 2 * m * k * n * chain
 
-    for name, fn, args in (("int8", chain_i8, (a8, b8)),
-                           ("bf16", chain_bf, (abf, bbf))):
-        float(fn(*args))               # compile
+    for name, acc_t, args in (("int8", jnp.int32, (a8, b8)),
+                              ("bf16", jnp.float32, (abf, bbf))):
+        fn = make_chain(acc_t)
+        for _ in range(2):
+            float(fn(*args))           # compile + warm
+        iters = 12
         t0 = time.perf_counter()
-        iters = 10
-        for _ in range(iters):
-            float(fn(*args))
+        for i in range(iters):
+            out = fn(*args)
+            if (i + 1) % 4 == 0:
+                float(out)
+        float(out)
         dt = (time.perf_counter() - t0) / iters
         print(f"{name}: {flops / dt / 1e12:.1f} TFLOP/s  ({dt*1e3:.2f} ms "
-              f"per 12-matmul chain)", flush=True)
+              f"per {chain}-matmul chain)", flush=True)
 
 
 if __name__ == "__main__":
