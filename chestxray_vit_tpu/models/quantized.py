@@ -2,19 +2,30 @@
 
 Mirrors :func:`vit.apply`'s architecture exactly (pre-LN blocks, flash
 attention, erf GELU, CLS head — reference model per ViT-Training.py:83 /
-pyc L381) but runs every large matmul on the int8 MXU path at 2× bf16
-peak: per-output-channel int8 weights prepared once at load
-(:func:`quantize_vit_params`), per-token dynamic activation scales, int32
-accumulation (``ops/quant.py``). Attention stays bf16 in the Pallas
+pyc L381) but runs every large matmul on the int8 MXU path (measured
+1.46× the bf16 rate on this chip — BENCH_NOTES "Round 3: int8"):
+per-output-channel int8 weights prepared once at load
+(:func:`quantize_vit_params`), int32 accumulation (``ops/quant.py``). Attention stays bf16 in the Pallas
 kernel (it is VPU-bound, not MXU-bound, at ViT head_dim); LayerNorm,
 softmax and the classifier head stay f32.
+
+Two activation-scale modes (weights are per-channel int8 either way):
+
+- *dynamic* (default): per-token amax scales computed on the fly —
+  accuracy-safest, but the amax reduction costs one extra full-tensor
+  HBM pass per matmul, which on this chip eats the int8 MXU dividend
+  (measured — BENCH_NOTES "Round 3: int8").
+- *static*: per-site scalar scales observed once on a calibration batch
+  (:func:`calibrate_vit_scales`); the quantize step becomes pure
+  elementwise and fuses into the producer, so the 1.46× int8 matmul
+  rate survives end-to-end.
 
 Forward-only by design — training remains bf16/f32 master-weight.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,20 +36,100 @@ from chestxray_vit_tpu.ops.gelu import gelu as _gelu
 from chestxray_vit_tpu.ops.quant import (
     QuantizedWeight,
     int8_matmul,
+    int8_matmul_static,
     quantize_weight,
 )
 
 Params = Dict[str, Any]
 
 _QUANT_BLOCK_KEYS = ("wq", "wk", "wv", "wo", "mlp_in", "mlp_out")
+# calibration site feeding each projection (wq/wk/wv share one input)
+_SITE_OF = {"wq": "attn_in", "wk": "attn_in", "wv": "attn_in",
+            "wo": "attn_out", "mlp_in": "mlp_in", "mlp_out": "mlp_mid"}
 
 
-def quantize_vit_params(params: Params) -> Params:
+def calibrate_vit_scales(params: Params, images: jax.Array,
+                         cfg: ModelConfig, margin: float = 1.0) -> Params:
+    """Observe activation amax at every quantized matmul input.
+
+    Runs the dense forward once over ``images`` (the calibration batch)
+    in the serving compute dtype and records max|x| at each site; returns
+    ``{"patch": f32 scalar, "blocks": {site: f32 [L]}}`` scales
+    (= amax·margin/127) for :func:`quantize_vit_params`. Calibration is
+    cheap (one forward) and input-robust for ViT: every site except the
+    patch pixels and the GELU output is a LayerNorm/attention output
+    whose range is set by learned gains more than by the batch.
+    """
+    compute_dtype = jnp.dtype(cfg.dtype)
+    h, hd = cfg.num_heads, cfg.head_dim
+
+    @jax.jit
+    def run(params, images):
+        patches = vit.patchify(images.astype(jnp.float32), cfg.patch_size)
+        s_patch = jnp.max(jnp.abs(patches))
+        pe = params["patch_embed"]
+        x = (patches.astype(compute_dtype)
+             @ pe["kernel"].astype(compute_dtype)
+             + pe["bias"].astype(compute_dtype))
+        b = x.shape[0]
+        cls = jnp.broadcast_to(params["cls_token"].astype(compute_dtype),
+                               (b, 1, cfg.hidden_size))
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + params["pos_embed"].astype(compute_dtype)
+
+        def dense(y, e):
+            return (y.astype(compute_dtype)
+                    @ e["kernel"].astype(compute_dtype)
+                    + e["bias"].astype(compute_dtype))
+
+        def heads(y):
+            bsz, s, _ = y.shape
+            return y.reshape(bsz, s, h, hd).transpose(0, 2, 1, 3)
+
+        def amax(y):
+            return jnp.max(jnp.abs(y.astype(jnp.float32)))
+
+        def body(x, bp):
+            a_in = vit.layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"],
+                                  cfg.layernorm_eps)
+            q = heads(dense(a_in, bp["wq"]))
+            k = heads(dense(a_in, bp["wk"]))
+            v = heads(dense(a_in, bp["wv"]))
+            from chestxray_vit_tpu.ops.flash_attention import attention
+            o = attention(q, k, v, impl=cfg.attention_impl, inference=True)
+            bsz, _, s, _ = o.shape
+            merged = o.transpose(0, 2, 1, 3).reshape(bsz, s, h * hd)
+            x = x + dense(merged, bp["wo"])
+            m_in = vit.layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
+                                  cfg.layernorm_eps)
+            mid = _gelu(dense(m_in, bp["mlp_in"]),
+                        approximate=cfg.gelu_approximate)
+            x = x + dense(mid, bp["mlp_out"])
+            return x, (amax(a_in), amax(merged), amax(m_in), amax(mid))
+
+        _, sites = jax.lax.scan(body, x, params["blocks"])
+        return s_patch, sites
+
+    s_patch, sites = run(params, images)
+
+    def to_scale(a):
+        return jnp.maximum(a.astype(jnp.float32) * margin, 1e-6) / 127.0
+
+    names = ("attn_in", "attn_out", "mlp_in", "mlp_mid")
+    return {"patch": to_scale(s_patch),
+            "blocks": {n: to_scale(s) for n, s in zip(names, sites)}}
+
+
+def quantize_vit_params(params: Params,
+                        act_scales: Optional[Params] = None) -> Params:
     """f32 training params → serving tree with int8 kernels.
 
     Block kernels are scan-stacked [L, in, out]; quantization vmaps over
     the layer axis so the quantized forward keeps the same single-trace
-    ``lax.scan`` structure."""
+    ``lax.scan`` structure. With ``act_scales`` (from
+    :func:`calibrate_vit_scales`) the tree additionally carries static
+    per-site activation scales and the forward takes the fused static
+    path."""
     blocks = params["blocks"]
     qblocks: Dict[str, Any] = {
         "ln1": blocks["ln1"], "ln2": blocks["ln2"],
@@ -49,12 +140,17 @@ def quantize_vit_params(params: Params) -> Params:
                 blocks[key]["kernel"].astype(jnp.float32)),
             "bias": blocks[key]["bias"],
         }
+    pe: Dict[str, Any] = {
+        "qw": quantize_weight(
+            params["patch_embed"]["kernel"].astype(jnp.float32)),
+        "bias": params["patch_embed"]["bias"],
+    }
+    if act_scales is not None:
+        pe["xs"] = jnp.asarray(act_scales["patch"], jnp.float32)
+        qblocks["act"] = {k: jnp.asarray(v, jnp.float32)
+                          for k, v in act_scales["blocks"].items()}
     return {
-        "patch_embed": {
-            "qw": quantize_weight(
-                params["patch_embed"]["kernel"].astype(jnp.float32)),
-            "bias": params["patch_embed"]["bias"],
-        },
+        "patch_embed": pe,
         "cls_token": params["cls_token"],
         "pos_embed": params["pos_embed"],
         "blocks": qblocks,
@@ -69,16 +165,27 @@ def apply_quantized(qparams: Params, images: jax.Array,
     compute_dtype = jnp.dtype(cfg.dtype)
     h, hd = cfg.num_heads, cfg.head_dim
 
+    static = "act" in qparams["blocks"]
+
     patches = vit.patchify(images.astype(jnp.float32), cfg.patch_size)
     pe = qparams["patch_embed"]
-    x = int8_matmul(patches, pe["qw"], pe["bias"], out_dtype=compute_dtype)
+    if static:
+        x = int8_matmul_static(patches, pe["qw"], pe["xs"], pe["bias"],
+                               out_dtype=compute_dtype)
+    else:
+        x = int8_matmul(patches, pe["qw"], pe["bias"],
+                        out_dtype=compute_dtype)
     b = x.shape[0]
     cls = jnp.broadcast_to(qparams["cls_token"].astype(compute_dtype),
                            (b, 1, cfg.hidden_size))
     x = jnp.concatenate([cls, x], axis=1)
     x = x + qparams["pos_embed"].astype(compute_dtype)
 
-    def proj(y, bp_entry):
+    def proj(y, bp_entry, xs=None):
+        if xs is not None:
+            return int8_matmul_static(y, bp_entry["qw"], xs,
+                                      bp_entry["bias"],
+                                      out_dtype=compute_dtype)
         return int8_matmul(y, bp_entry["qw"], bp_entry["bias"],
                            out_dtype=compute_dtype)
 
@@ -87,21 +194,23 @@ def apply_quantized(qparams: Params, images: jax.Array,
         return y.reshape(bsz, s, h, hd).transpose(0, 2, 1, 3)
 
     def body(x, bp):
+        act = bp.get("act")
+        xs = (lambda k: act[_SITE_OF[k]] if act is not None else None)
         a_in = vit.layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"],
                               cfg.layernorm_eps)
-        q = heads(proj(a_in, bp["wq"]))
-        k = heads(proj(a_in, bp["wk"]))
-        v = heads(proj(a_in, bp["wv"]))
+        q = heads(proj(a_in, bp["wq"], xs("wq")))
+        k = heads(proj(a_in, bp["wk"], xs("wk")))
+        v = heads(proj(a_in, bp["wv"], xs("wv")))
         from chestxray_vit_tpu.ops.flash_attention import attention
         o = attention(q, k, v, impl=cfg.attention_impl, inference=True)
         bsz, _, s, _ = o.shape
         merged = o.transpose(0, 2, 1, 3).reshape(bsz, s, h * hd)
-        x = x + proj(merged, bp["wo"])
+        x = x + proj(merged, bp["wo"], xs("wo"))
         m_in = vit.layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
                               cfg.layernorm_eps)
-        mid = _gelu(proj(m_in, bp["mlp_in"]),
+        mid = _gelu(proj(m_in, bp["mlp_in"], xs("mlp_in")),
                     approximate=cfg.gelu_approximate)
-        x = x + proj(mid, bp["mlp_out"])
+        x = x + proj(mid, bp["mlp_out"], xs("mlp_out"))
         return x, None
 
     x, _ = jax.lax.scan(body, x, qparams["blocks"])

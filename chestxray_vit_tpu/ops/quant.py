@@ -9,10 +9,13 @@ inference speed path:
 
 - weights: symmetric per-output-channel int8 (scale = max|W[:, o]| / 127),
   computed ONCE at load time (`quantize_weight`);
-- activations: symmetric per-row (per-token) dynamic int8 — the row scale
-  factors out of the contraction, so it rides the cheap f32 epilogue;
+- activations: either symmetric per-row (per-token) dynamic int8
+  (`int8_matmul` — the row scale factors out of the contraction, so it
+  rides the cheap f32 epilogue) or a static calibrated scalar scale
+  (`int8_matmul_static` — fully fusable, the end-to-end speed win;
+  measured int8 200 vs bf16 138 TFLOP/s on this chip);
 - matmul: int8 MXU dot with int32 accumulation, rescaled in one fused
-  elementwise epilogue (`int8_matmul`).
+  elementwise epilogue.
 
 Accuracy is oracle-tested (tests/test_quant.py): quantization math against
 a numpy reference, and end-to-end logits against the f32 model within a
@@ -65,6 +68,35 @@ def int8_matmul(x: jax.Array, qw: QuantizedWeight,
         (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)                 # [..., out] i32
     y = acc.astype(jnp.float32) * (xs * qw.scale)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
+def int8_matmul_static(x: jax.Array, qw: QuantizedWeight,
+                       x_scale: jax.Array,
+                       bias: jax.Array | None = None,
+                       out_dtype=jnp.bfloat16) -> jax.Array:
+    """``int8_matmul`` with a precomputed (calibration) activation scale.
+
+    The dynamic path's per-row amax is a *reduction* over the activation,
+    which XLA cannot fuse into the producer — it costs one extra
+    full-tensor HBM pass per matmul, which on this chip outweighs the
+    1.46× int8 MXU rate at ViT widths (measured: BENCH_NOTES "Round 3:
+    int8"). With a static scalar scale the quantize step is pure
+    elementwise: it fuses into the producing op's epilogue, the
+    activation crosses HBM once (as int8), and the MXU dividend is kept.
+    Values beyond the calibration range saturate at ±127 by design.
+
+    x_scale: f32 scalar (from :func:`models.quantized.calibrate_vit_scales`).
+    """
+    xf = x.astype(jnp.float32)
+    q = jnp.clip(jnp.round(xf / x_scale), -127.0, 127.0).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        q, qw.q,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)                 # [..., out] i32
+    y = acc.astype(jnp.float32) * (x_scale * qw.scale)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(out_dtype)

@@ -46,7 +46,8 @@ class Predictor:
     def __init__(self, params, cfg: ModelConfig,
                  classes: Optional[Sequence[str]] = None,
                  batch_size: int = 8, canvas_size: int = 1024,
-                 placement: str = "host", quantize: bool = False):
+                 placement: str = "host", quantize=False,
+                 calibration: Optional[Sequence[np.ndarray]] = None):
         """``placement`` picks where crop/pad/resize runs:
 
         - 'host' (default): decode + native C++ crop/pad/resize on host,
@@ -56,11 +57,20 @@ class Predictor:
           the fused MXU preprocess on chip — the right trade when host CPU
           is the bottleneck.
 
-        ``quantize=True`` serves the int8 MXU forward (2× bf16 peak on
-        v5e): per-channel int8 weights prepared here once, per-token
-        dynamic activation scales, attention/LN/head unchanged
-        (``models/quantized.py``). Probability deltas vs f32 are small and
-        oracle-tested; rollout maps always use the f32 path.
+        ``quantize`` serves the int8 MXU forward (per-channel int8
+        weights prepared here once; ``models/quantized.py``):
+
+        - ``True`` / ``'dynamic'``: per-token dynamic activation scales —
+          accuracy-safest, 4× smaller weights, bf16-comparable speed;
+        - ``'static'``: per-site scales calibrated once on
+          ``calibration`` (u8 grayscale arrays; a seeded synthetic batch
+          when omitted — ViT activation ranges are LayerNorm-dominated,
+          so synthetic calibration tracks real data; pass real images
+          for production) — the fused path that keeps the 1.46× int8
+          MXU rate end-to-end (BENCH_NOTES "Round 3: int8").
+
+        Probability deltas vs f32 are oracle-tested for both modes;
+        rollout maps always use the f32 path.
         """
         self.params = params
         self.cfg = cfg
@@ -70,13 +80,16 @@ class Predictor:
         if placement not in ("host", "device"):
             raise ValueError(f"unknown placement {placement!r}")
         self.placement = placement
-        self.quantize = quantize
-        if quantize:
-            from chestxray_vit_tpu.models.quantized import (
-                apply_quantized,
-                quantize_vit_params,
-            )
-            self._qparams = quantize_vit_params(params)
+        if quantize in (False, None):
+            qmode = None
+        elif quantize in (True, "dynamic"):
+            qmode = "dynamic"
+        elif quantize == "static":
+            qmode = "static"
+        else:
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        self.quantize = qmode is not None
+        self.quantize_mode = qmode
 
         def images_of(staged):
             from chestxray_vit_tpu.ops.preprocess import normalize_u8
@@ -86,6 +99,29 @@ class Predictor:
                                         out_size=cfg.img_size,
                                         dtype=jnp.dtype(cfg.dtype))
             return normalize_u8(staged[0], dtype=jnp.dtype(cfg.dtype))
+
+        quantize = self.quantize
+        if quantize:
+            from chestxray_vit_tpu.models.quantized import (
+                apply_quantized,
+                calibrate_vit_scales,
+                quantize_vit_params,
+            )
+            scales = None
+            if qmode == "static":
+                if calibration is None:
+                    rng = np.random.default_rng(0)
+                    calibration = [rng.integers(0, 256, (cfg.img_size,
+                                                         cfg.img_size),
+                                                np.uint8)
+                                   for _ in range(8)]
+                staged = tuple(jnp.asarray(a)
+                               for a in self._stage(list(calibration), 0))
+                scales = jax.tree.map(
+                    np.asarray,
+                    calibrate_vit_scales(self.params, images_of(staged),
+                                         cfg))
+            self._qparams = quantize_vit_params(params, scales)
 
         if quantize:
             def forward(qparams, *staged):
@@ -110,7 +146,7 @@ class Predictor:
     @classmethod
     def from_model_dir(cls, directory: str, batch_size: int = 8,
                        placement: str = "host",
-                       quantize: bool = False) -> "Predictor":
+                       quantize=False) -> "Predictor":
         with open(os.path.join(os.path.expanduser(directory),
                                "config.json")) as f:
             cfg = Config.from_json(f.read())

@@ -161,10 +161,14 @@ def main(argv: Optional[list] = None) -> int:
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--placement", choices=("host", "device"), default="host",
                     help="where crop/pad/resize runs (inference.Predictor)")
-    ap.add_argument("--quantize", action="store_true",
-                    help="serve the int8 MXU forward (2x bf16 peak; "
-                         "per-channel int8 weights, dynamic per-token "
-                         "activation scales — models/quantized.py)")
+    ap.add_argument("--quantize", nargs="?", const="dynamic",
+                    choices=("dynamic", "static"), default=None,
+                    help="serve the int8 MXU forward (per-channel int8 "
+                         "weights — models/quantized.py). 'dynamic' "
+                         "(the default when the flag is bare): per-token "
+                         "activation scales, accuracy-safest; 'static': "
+                         "calibrated per-site scales — the fused path "
+                         "that keeps the 1.46x int8 MXU rate end-to-end")
     ns = ap.parse_args(argv)
     predictor = Predictor.from_model_dir(ns.model_dir,
                                          batch_size=ns.batch_size,

@@ -10,6 +10,7 @@ from chestxray_vit_tpu.config import ModelConfig
 from chestxray_vit_tpu.models import vit
 from chestxray_vit_tpu.models.quantized import (
     apply_quantized,
+    calibrate_vit_scales,
     quantize_vit_params,
 )
 from chestxray_vit_tpu.ops import quant as Q
@@ -69,6 +70,82 @@ def test_quantized_forward_tracks_f32_model():
     p32 = 1.0 / (1.0 + np.exp(-f32))
     p8 = 1.0 / (1.0 + np.exp(-q8))
     assert np.abs(p32 - p8).max() < 0.1
+
+
+def test_int8_matmul_static_matches_numpy_oracle():
+    rng = np.random.default_rng(7)
+    x = np.asarray(rng.standard_normal((5, 32, 24)), np.float32)
+    w = np.asarray(rng.standard_normal((24, 16)), np.float32)
+    b = np.asarray(rng.standard_normal((16,)), np.float32)
+    xs = np.float32(np.abs(x).max() / 127.0)
+    qw = Q.quantize_weight(jnp.asarray(w))
+    got = np.asarray(Q.int8_matmul_static(
+        jnp.asarray(x), qw, jnp.float32(xs), jnp.asarray(b),
+        out_dtype=jnp.float32))
+    xq = np.clip(np.round(x / xs), -127, 127).astype(np.int32)
+    want = (xq @ np.asarray(qw.q, np.int32)).astype(np.float32)
+    want = want * (xs * np.asarray(qw.scale)) + b
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_matmul_static_saturates_beyond_calibration():
+    # values past the calibration range clip at ±127 — by design
+    x = jnp.asarray([[1.0, -1000.0]], jnp.float32)
+    w = jnp.asarray(np.eye(2), jnp.float32)
+    qw = Q.quantize_weight(w)
+    y = np.asarray(Q.int8_matmul_static(x, qw, jnp.float32(1.0 / 127.0),
+                                        out_dtype=jnp.float32))
+    np.testing.assert_allclose(y[0, 0], 1.0, atol=0.01)
+    np.testing.assert_allclose(y[0, 1], -1.0, atol=0.01)  # saturated
+
+
+def test_static_quantized_forward_tracks_f32_model():
+    cfg = _cfg()
+    params = vit.init_params(jax.random.key(0), cfg)
+    images = jax.random.normal(jax.random.key(1), (8, 64, 64, 3))
+    f32 = np.asarray(vit.apply(params, images, cfg))
+    # calibrate on a DIFFERENT batch than the one evaluated
+    calib = jax.random.normal(jax.random.key(9), (8, 64, 64, 3))
+    scales = calibrate_vit_scales(params, calib, cfg)
+    # shape contract: one scalar per site per layer
+    for site in ("attn_in", "attn_out", "mlp_in", "mlp_mid"):
+        assert scales["blocks"][site].shape == (cfg.num_layers,)
+    q8 = np.asarray(apply_quantized(quantize_vit_params(params, scales),
+                                    images, cfg))
+    assert np.corrcoef(q8.ravel(), f32.ravel())[0, 1] > 0.995
+    p32 = 1.0 / (1.0 + np.exp(-f32))
+    p8 = 1.0 / (1.0 + np.exp(-q8))
+    assert np.abs(p32 - p8).max() < 0.1
+
+
+def test_predictor_quantize_static(tmp_path):
+    from chestxray_vit_tpu.serve.inference import Predictor
+    cfg = _cfg()
+    params = vit.init_params(jax.random.key(2), cfg)
+    rng = np.random.default_rng(3)
+    grays = [rng.integers(0, 255, (96, 80), np.uint8) for _ in range(3)]
+
+    base = Predictor(params, cfg, batch_size=4)
+    # synthetic-calibration fallback (no calibration images passed)
+    quant = Predictor(params, cfg, batch_size=4, quantize="static")
+    assert quant.quantize_mode == "static"
+    a = base.predict_arrays(grays)
+    b = quant.predict_arrays(grays)
+    assert np.abs(a.probs - b.probs).max() < 0.1
+    # explicit calibration images route through the same preprocessing
+    quant2 = Predictor(params, cfg, batch_size=4, quantize="static",
+                       calibration=grays)
+    c = quant2.predict_arrays(grays)
+    assert np.abs(a.probs - c.probs).max() < 0.1
+
+
+def test_predictor_quantize_mode_validation():
+    import pytest
+    from chestxray_vit_tpu.serve.inference import Predictor
+    cfg = _cfg()
+    params = vit.init_params(jax.random.key(2), cfg)
+    with pytest.raises(ValueError, match="quantize"):
+        Predictor(params, cfg, quantize="int4")
 
 
 def test_predictor_quantize_flag(tmp_path):
