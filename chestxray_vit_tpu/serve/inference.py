@@ -47,7 +47,8 @@ class Predictor:
                  classes: Optional[Sequence[str]] = None,
                  batch_size: int = 8, canvas_size: int = 1024,
                  placement: str = "host", quantize=False,
-                 calibration: Optional[Sequence[np.ndarray]] = None):
+                 calibration: Optional[Sequence[np.ndarray]] = None,
+                 data_parallel=False):
         """``placement`` picks where crop/pad/resize runs:
 
         - 'host' (default): decode + native C++ crop/pad/resize on host,
@@ -71,6 +72,12 @@ class Predictor:
 
         Probability deltas vs f32 are oracle-tested for both modes;
         rollout maps always use the f32 path.
+
+        ``data_parallel`` shards each micro-batch over the ``data`` axis
+        of a device mesh (``True`` = all visible devices, an int = the
+        first N) with replicated params — multi-chip serving throughput
+        through the same API; micro-batch buckets round up to a multiple
+        of the mesh size. Composes with ``quantize``.
         """
         self.params = params
         self.cfg = cfg
@@ -80,6 +87,23 @@ class Predictor:
         if placement not in ("host", "device"):
             raise ValueError(f"unknown placement {placement!r}")
         self.placement = placement
+
+        self.mesh = None
+        self._min_bucket = 1
+        if data_parallel:
+            from jax.sharding import Mesh
+            n = (len(jax.devices()) if data_parallel is True
+                 else int(data_parallel))
+            if n > len(jax.devices()):
+                raise ValueError(
+                    f"data_parallel={n} > {len(jax.devices())} devices")
+            if batch_size % n:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by "
+                    f"data_parallel {n}")
+            if n > 1:
+                self.mesh = Mesh(np.asarray(jax.devices()[:n]), ("data",))
+                self._min_bucket = n
         if quantize in (False, None):
             qmode = None
         elif quantize in (True, "dynamic"):
@@ -132,13 +156,25 @@ class Predictor:
                 logits = vit.apply(params, images_of(staged), cfg)
                 return logits, jax.nn.sigmoid(logits)
 
-        self._forward = jax.jit(forward)
-
         def forward_rollout(params, *staged):
             logits, maps = am.compute_rollout(params, images_of(staged), cfg)
             return logits, jax.nn.sigmoid(logits), maps
 
-        self._forward_rollout = jax.jit(forward_rollout)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(self.mesh, P())
+            bsh = NamedSharding(self.mesh, P("data"))
+            n_staged = 2 if self.placement == "device" else 1
+            self._forward = jax.jit(forward,
+                                    in_shardings=(rep,) + (bsh,) * n_staged,
+                                    out_shardings=bsh)
+            self._forward_rollout = jax.jit(
+                forward_rollout,
+                in_shardings=(rep,) + (bsh,) * n_staged,
+                out_shardings=bsh)
+        else:
+            self._forward = jax.jit(forward)
+            self._forward_rollout = jax.jit(forward_rollout)
         # the plain forward consumes the (possibly quantized) weights; the
         # rollout path always runs the f32 model (probabilities-as-product)
         self._fwd_params = self._qparams if quantize else self.params
@@ -146,14 +182,15 @@ class Predictor:
     @classmethod
     def from_model_dir(cls, directory: str, batch_size: int = 8,
                        placement: str = "host",
-                       quantize=False) -> "Predictor":
+                       quantize=False, data_parallel=False) -> "Predictor":
         with open(os.path.join(os.path.expanduser(directory),
                                "config.json")) as f:
             cfg = Config.from_json(f.read())
         template = vit.init_params(jax.random.key(0), cfg.model)
         params, classes = load_model(directory, template)
         return cls(params, cfg.model, classes, batch_size,
-                   placement=placement, quantize=quantize)
+                   placement=placement, quantize=quantize,
+                   data_parallel=data_parallel)
 
     # ------------------------------------------------------------------
 
@@ -206,11 +243,15 @@ class Predictor:
         """Pre-compile every bucket size so first requests don't pay
         compile latency (zero-filled staged operands; no decode needed)."""
         b = 1
-        sizes = []
+        candidates = []
         while b < self.batch_size:
-            sizes.append(b)
+            candidates.append(b)
             b <<= 1
-        sizes.append(self.batch_size)
+        candidates.append(self.batch_size)
+        # under data-parallel serving several candidates collapse onto the
+        # same (mesh-multiple) bucket — compile each program once
+        sizes = sorted({self._bucket(c, self.batch_size)
+                        for c in candidates})
         for b in sizes:
             if self.placement == "host":
                 s = self.cfg.img_size
@@ -226,16 +267,20 @@ class Predictor:
             else:
                 np.asarray(self._forward(self._fwd_params, *staged)[0])
 
-    @staticmethod
-    def _bucket(valid: int, bs: int) -> int:
+    def _bucket(self, valid: int, bs: int) -> int:
         """Smallest power-of-two batch ≥ valid (clamped to bs): partial
         chunks run a right-sized compiled program instead of paying the
         full-batch forward — one cached executable per bucket, log2(bs)+1
-        buckets total."""
+        buckets total. Under data-parallel serving buckets additionally
+        round up to a multiple of the mesh size so every device gets
+        equal rows."""
         b = 1
         while b < valid:
             b <<= 1
-        return min(b, bs)
+        n = self._min_bucket
+        if b % n:
+            b = ((b + n - 1) // n) * n
+        return min(max(b, n), bs)
 
     def predict_bytes(self, images_bytes: Sequence[bytes],
                       with_maps: bool = False) -> PredictOutput:

@@ -169,11 +169,16 @@ def main(argv: Optional[list] = None) -> int:
                          "activation scales, accuracy-safest; 'static': "
                          "calibrated per-site scales — the fused path "
                          "that keeps the 1.46x int8 MXU rate end-to-end")
+    ap.add_argument("--data-parallel", type=int, default=0,
+                    help="shard each micro-batch over the first N devices "
+                         "(0/1 = single-device; requires batch-size "
+                         "divisible by N)")
     ns = ap.parse_args(argv)
     predictor = Predictor.from_model_dir(ns.model_dir,
                                          batch_size=ns.batch_size,
                                          placement=ns.placement,
-                                         quantize=ns.quantize)
+                                         quantize=ns.quantize,
+                                         data_parallel=ns.data_parallel)
     print("[server] warming up (compiling batch buckets)...", flush=True)
     predictor.warmup()
     serve(predictor, ns.host, ns.port)
