@@ -316,11 +316,13 @@ def test_bucket_sizes():
     """Partial chunks pad to the nearest power-of-two bucket, not the full
     batch — bounded compile count, right-sized forwards."""
     from chestxray_vit_tpu.serve.inference import Predictor
-    assert Predictor._bucket(1, 8) == 1
-    assert Predictor._bucket(2, 8) == 2
-    assert Predictor._bucket(3, 8) == 4
-    assert Predictor._bucket(8, 8) == 8
-    assert Predictor._bucket(5, 4) == 4     # never above batch_size
+    p = Predictor.__new__(Predictor)        # bucket math needs no model
+    p._min_bucket = 1
+    assert p._bucket(1, 8) == 1
+    assert p._bucket(2, 8) == 2
+    assert p._bucket(3, 8) == 4
+    assert p._bucket(8, 8) == 8
+    assert p._bucket(5, 4) == 4             # never above batch_size
 
 
 def test_warmup_compiles_all_buckets(rng):
