@@ -160,12 +160,30 @@ def quantize_vit_params(params: Params,
 
 
 def apply_quantized(qparams: Params, images: jax.Array,
-                    cfg: ModelConfig) -> jax.Array:
-    """int8 forward: NHWC images → f32 logits [B, num_classes]."""
+                    cfg: ModelConfig, backend: str = "xla") -> jax.Array:
+    """int8 forward: NHWC images → f32 logits [B, num_classes].
+
+    ``backend="pallas"`` (static scales only) runs every int8 matmul as
+    one Mosaic kernel with the dequant/bias/residual/GELU/re-quantize
+    epilogue fused (``ops/int8_pallas.py`` — measured 226 vs XLA's 200
+    TFLOP/s at ViT shapes on this chip)."""
     compute_dtype = jnp.dtype(cfg.dtype)
     h, hd = cfg.num_heads, cfg.head_dim
 
     static = "act" in qparams["blocks"]
+    if backend == "pallas":
+        if not static:
+            raise ValueError(
+                "backend='pallas' requires static calibrated scales "
+                "(quantize_vit_params(..., act_scales=...)); the dynamic "
+                "path's per-row amax epilogue is exactly what loses "
+                "end-to-end (BENCH_NOTES 'Round 3: int8')")
+        if cfg.gelu_approximate:
+            raise ValueError("backend='pallas' fuses the exact-erf GELU; "
+                             "gelu_approximate is not supported")
+        return _apply_static_pallas(qparams, images, cfg)
+    if backend != "xla":
+        raise ValueError(f"unknown quantized backend {backend!r}")
 
     patches = vit.patchify(images.astype(jnp.float32), cfg.patch_size)
     pe = qparams["patch_embed"]
@@ -211,6 +229,76 @@ def apply_quantized(qparams: Params, images: jax.Array,
         mid = _gelu(proj(m_in, bp["mlp_in"], xs("mlp_in")),
                     approximate=cfg.gelu_approximate)
         x = x + proj(mid, bp["mlp_out"], xs("mlp_out"))
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, qparams["blocks"])
+
+    fl = qparams["final_ln"]
+    x = vit.layer_norm(x, fl["scale"], fl["bias"], cfg.layernorm_eps)
+    head = qparams["head"]
+    return (jnp.dot(x[:, 0, :].astype(jnp.float32),
+                    head["kernel"].astype(jnp.float32))
+            + head["bias"].astype(jnp.float32))
+
+
+def _apply_static_pallas(qparams: Params, images: jax.Array,
+                         cfg: ModelConfig) -> jax.Array:
+    """Static-int8 forward on the fused Mosaic matmul kernel.
+
+    Same math as the XLA static path (oracle-tested equivalent in
+    tests/test_quant_pallas.py) with three HBM-traffic upgrades the XLA
+    fusion pass cannot make: the residual adds ride the matmul epilogue,
+    the MLP hidden activation is GELU'd and re-quantized in-kernel (it
+    crosses HBM once, as int8), and the attention input is quantized
+    once and shared by the three QKV kernels."""
+    from chestxray_vit_tpu.ops.int8_pallas import (
+        int8_matmul_fused,
+        quantize_static,
+    )
+
+    compute_dtype = jnp.dtype(cfg.dtype)
+    h, hd = cfg.num_heads, cfg.head_dim
+
+    def proj(x8, entry, x_scale, **kw):
+        qw: QuantizedWeight = entry["qw"]
+        return int8_matmul_fused(
+            x8, qw.q, x_scale * qw.scale, entry["bias"],
+            out_dtype=compute_dtype, **kw)
+
+    patches = vit.patchify(images.astype(jnp.float32), cfg.patch_size)
+    pe = qparams["patch_embed"]
+    x = proj(quantize_static(patches, pe["xs"]), pe, pe["xs"])
+    b = x.shape[0]
+    cls = jnp.broadcast_to(qparams["cls_token"].astype(compute_dtype),
+                           (b, 1, cfg.hidden_size))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = (x + qparams["pos_embed"].astype(compute_dtype)
+         ).astype(compute_dtype)
+
+    def heads(y):                        # [B, S, D] → [B, H, S, hd]
+        bsz, s, d = y.shape
+        return y.reshape(bsz, s, h, hd).transpose(0, 2, 1, 3)
+
+    def body(x, bp):
+        act = bp["act"]
+        a_in = vit.layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"],
+                              cfg.layernorm_eps)
+        a8 = quantize_static(a_in, act["attn_in"])      # shared by q/k/v
+        q = heads(proj(a8, bp["wq"], act["attn_in"]))
+        k = heads(proj(a8, bp["wk"], act["attn_in"]))
+        v = heads(proj(a8, bp["wv"], act["attn_in"]))
+        from chestxray_vit_tpu.ops.flash_attention import attention
+        o = attention(q, k, v, impl=cfg.attention_impl, inference=True)
+        bsz, _, s, _ = o.shape
+        merged = o.transpose(0, 2, 1, 3).reshape(bsz, s, h * hd)
+        x = proj(quantize_static(merged, act["attn_out"]), bp["wo"],
+                 act["attn_out"], resid=x)
+        m_in = vit.layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
+                              cfg.layernorm_eps)
+        mid8 = proj(quantize_static(m_in, act["mlp_in"]), bp["mlp_in"],
+                    act["mlp_in"], gelu=True,
+                    out_quant_scale=act["mlp_mid"])
+        x = proj(mid8, bp["mlp_out"], act["mlp_mid"], resid=x)
         return x, None
 
     x, _ = jax.lax.scan(body, x, qparams["blocks"])

@@ -11,7 +11,7 @@ Measurement notes (v2 — the first version of this probe was wrong):
   ([chain, k, n] stacked weights, chain innermost so the A block stays
   resident), ≥4 TFLOP of real work per dispatch, syncs amortized 4×.
 
-Usage: python tools/mosaic_int8_probe.py [bf16|int8|both] [chain]
+Usage: python tools/mosaic_int8_probe.py [bf16|int8|int8ep|both] [chain]
 """
 
 import functools
@@ -31,7 +31,7 @@ def main() -> None:
     from jax.experimental.pallas import tpu as pltpu
 
     m, k, n = 36864, 768, 768
-    bm = 1024                           # rows per grid step
+    bm = int(os.environ.get("PROBE_BM", "1024"))    # rows per grid step
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     chain = int(sys.argv[2]) if len(sys.argv) > 2 else 96
 
@@ -40,18 +40,52 @@ def main() -> None:
             a_ref[...], b_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=acc_t)
 
-    def build(acc_t):
-        # grid: (row block, weight index); chain innermost so the A block
-        # is loaded once per row block; the output block is overwritten
-        # per weight (we only measure throughput, not keep every product)
+    def ep_kernel(a_ref, b_ref, s_ref, bias_ref, o_ref):
+        # the integrated serving epilogue: int32 acc -> per-channel static
+        # dequant scale -> bias -> bf16 store (halves output HBM traffic
+        # vs the int32 store above)
+        acc = jax.lax.dot_general(
+            a_ref[...], b_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * s_ref[0, 0] + bias_ref[0, 0]
+        o_ref[...] = y.astype(jnp.bfloat16)
+
+    def build_ep():
         return pl.pallas_call(
-            functools.partial(kernel, acc_t=acc_t),
+            ep_kernel,
             grid=(m // bm, chain),
             in_specs=[pl.BlockSpec((bm, k), lambda i, c: (i, 0),
                                    memory_space=pltpu.VMEM),
                       pl.BlockSpec((1, k, n), lambda i, c: (c, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, 1, n), lambda i, c: (c, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, 1, n), lambda i, c: (c, 0, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((bm, n), lambda i, c: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+        )
+
+    def build(acc_t, stream: bool = False):
+        # grid: (row block, weight index); chain innermost so the A block
+        # is loaded once per row block; the output block is overwritten
+        # per weight (we only measure throughput, not keep every product).
+        # stream=True forces a DIFFERENT A block every grid step (as the
+        # real model does — each matmul reads a fresh activation), so the
+        # A DMA must overlap the MXU instead of staying resident.
+        a_idx = ((lambda i, c: ((i + c) % (m // bm), 0)) if stream
+                 else (lambda i, c: (i, 0)))
+        return pl.pallas_call(
+            functools.partial(kernel, acc_t=acc_t),
+            grid=(m // bm, chain),
+            in_specs=[pl.BlockSpec((bm, k), a_idx,
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, k, n), lambda i, c: (c, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((bm, n), a_idx,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((m, n), acc_t),
             compiler_params=pltpu.CompilerParams(
@@ -64,20 +98,23 @@ def main() -> None:
     abf = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
     bbf = jnp.asarray(rng.standard_normal((chain, k, n)), jnp.bfloat16)
 
-    def bench(name, f, a, bs):
+    scales = jnp.asarray(rng.uniform(0.001, 0.01, (chain, 1, n)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((chain, 1, n)), jnp.float32)
+
+    def bench(name, f, a, bs, *extra):
         @jax.jit
-        def run(a, bs):
-            return f(a, bs)[0, 0]
+        def run(a, bs, *extra):
+            return f(a, bs, *extra)[0, 0]
 
         try:
-            float(run(a, bs))
+            float(run(a, bs, *extra))
         except Exception as e:                           # noqa: BLE001
             print(f"{name}: FAILED to compile/run: {str(e)[:300]}")
             return
         iters = 8
         t0 = time.perf_counter()
         for i in range(iters):
-            out = run(a, bs)
+            out = run(a, bs, *extra)
             if (i + 1) % 4 == 0:
                 float(out)
         float(out)
@@ -90,6 +127,11 @@ def main() -> None:
         bench("mosaic bf16->f32", build(jnp.float32), abf, bbf)
     if which in ("int8", "both"):
         bench("mosaic int8->int32", build(jnp.int32), a8, b8)
+    if which in ("int8stream", "both"):
+        bench("mosaic int8 streaming-A", build(jnp.int32, stream=True),
+              a8, b8)
+    if which in ("int8ep", "both"):
+        bench("mosaic int8+dequant->bf16", build_ep(), a8, b8, scales, bias)
 
 
 if __name__ == "__main__":

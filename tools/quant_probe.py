@@ -1,7 +1,7 @@
 """int8 serving forward probe: apply_quantized vs the bf16 f32-weight
 forward at the same batch (compare with tools/fwd_probe.py).
 
-Usage: python tools/quant_probe.py [batch] [dynamic|static|bf16] [variant]
+Usage: python tools/quant_probe.py [batch] [dynamic|static|pallas|bf16] [variant]
 
 ``bf16`` runs the plain serving forward (vit.apply) for an in-tool
 apples-to-apples row; ``variant`` is a VIT_VARIANTS key (default vit_b16).
@@ -46,9 +46,11 @@ def main() -> None:
         qparams = params
     else:
         scales = (calibrate_vit_scales(params, x[:8], cfg)
-                  if mode == "static" else None)
+                  if mode in ("static", "pallas") else None)
         qparams = quantize_vit_params(params, scales)
-        fwd = jax.jit(lambda qp, x: apply_quantized(qp, x, cfg))
+        backend = "pallas" if mode == "pallas" else "xla"
+        fwd = jax.jit(lambda qp, x: apply_quantized(qp, x, cfg,
+                                                    backend=backend))
 
     t0 = time.perf_counter()
     for _ in range(3):
