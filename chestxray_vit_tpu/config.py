@@ -297,6 +297,16 @@ class TrainConfig:
     # split (max per-class F1) instead of the reference's fixed 0.5
     # before writing the test classification report.
     calibrate_thresholds: bool = False
+    # Run eval/predict forwards on the int8 MXU path (beyond the
+    # reference; measured +28% over bf16 at b64 — BENCH_NOTES "Round 3:
+    # int8"). 'static' calibrates per-site activation scales on the first
+    # batch of each evaluated split; 'dynamic' uses per-token scales
+    # (accuracy-safest, slower). Training STEPS always stay bf16; every
+    # evaluate()/predict() forward — including mid-training cadence evals,
+    # and therefore best-model selection — uses the quantized logits, so
+    # set it for post-training `cli eval`/`predict` runs unless you want
+    # that. AUROC agrees with the bf16 eval to ~1e-3 (tested).
+    eval_quantize: Optional[str] = None     # None | 'static' | 'dynamic'
     seed: int = 42
     output_dir: str = "./outputs"
     report_to: str = "tensorboard"          # B (pyc L453); A: 'none'

@@ -304,6 +304,40 @@ def jit_train_step(train_step, mesh: Mesh, state: TrainState):
     )
 
 
+def make_quantized_eval_step(cfg: Config
+                             ) -> Callable[[Params, Dict[str, jax.Array]],
+                                           Tuple[jax.Array, jax.Array]]:
+    """`make_eval_step` on the int8 serving forward (models/quantized.py).
+
+    Same (logits, per-row BCE element sums) contract; ``params`` is the
+    quantized tree from ``quantize_vit_params``. Beyond the reference —
+    the measured +28% eval/predict throughput path (BENCH_NOTES "Round 3:
+    int8")."""
+    from chestxray_vit_tpu.models.quantized import apply_quantized
+
+    def eval_step(qparams: Params, batch: Dict[str, jax.Array]
+                  ) -> Tuple[jax.Array, jax.Array]:
+        images = prepare_pixel_values(
+            batch, out_size=cfg.model.img_size,
+            mean=cfg.data.image_mean, std=cfg.data.image_std)
+        logits = apply_quantized(qparams, images, cfg.model)
+        return logits, jnp.sum(bce_elements(logits, batch["labels"]),
+                               axis=-1)
+
+    return eval_step
+
+
+def jit_quantized_eval_step(eval_step, mesh: Mesh):
+    """Like :func:`jit_eval_step` but the quantized tree is replicated:
+    int8 weights are 4× smaller than the f32 masters, so replication is
+    cheap and keeps the step correct on any mesh shape."""
+    return jax.jit(
+        eval_step,
+        in_shardings=(replicated(mesh), batch_sharding(mesh)),
+        out_shardings=batch_sharding(mesh),
+    )
+
+
 def jit_eval_step(eval_step, mesh: Mesh, params: Params):
     p_sh = param_sharding(mesh, params)
     bt_sh = batch_sharding(mesh)

@@ -138,6 +138,39 @@ class Trainer:
             self.mesh, self.state)
         self._eval_step = S.jit_eval_step(
             S.make_eval_step(self.cfg), self.mesh, self.state.params)
+        if self.cfg.train.eval_quantize not in (None, "static", "dynamic"):
+            raise ValueError(
+                f"train.eval_quantize must be None|'static'|'dynamic', got "
+                f"{self.cfg.train.eval_quantize!r}")
+
+    def _quantized_eval(self, placed):
+        """Lazily build the int8 eval path from the CURRENT params
+        (beyond the reference — the measured +28% serving-forward win,
+        BENCH_NOTES 'Round 3: int8'). For 'static', per-site activation
+        scales are calibrated on ``placed`` — the first batch of the
+        split being evaluated; int8 weights are requantized per
+        evaluate()/predict() call so mid-training evals track the live
+        params."""
+        from chestxray_vit_tpu.models.quantized import (
+            calibrate_vit_scales,
+            quantize_vit_params,
+        )
+        from chestxray_vit_tpu.ops.preprocess import prepare_pixel_values
+
+        scales = None
+        if self.cfg.train.eval_quantize == "static":
+            images = jax.jit(lambda b: prepare_pixel_values(
+                b, out_size=self.cfg.model.img_size,
+                mean=self.cfg.data.image_mean,
+                std=self.cfg.data.image_std))(placed)
+            scales = calibrate_vit_scales(self.state.params, images,
+                                          self.cfg.model)
+        qparams = jax.jit(
+            lambda p: quantize_vit_params(p, scales),
+            out_shardings=S.replicated(self.mesh))(self.state.params)
+        step = S.jit_quantized_eval_step(
+            S.make_quantized_eval_step(self.cfg), self.mesh)
+        return qparams, step
 
     # ------------------------------------------------------------------
     # data plumbing
@@ -417,6 +450,7 @@ class Trainer:
                     np.zeros((0, c), np.float32), 0.0)
         logits_all, labels_all = [], []
         total_elem_loss, total_n = 0.0, 0
+        qparams = qstep = None
         for batch in pipe.iterate_batches(
                 loader, self.eval_batch,
                 num_workers=self.cfg.data.num_workers,
@@ -425,12 +459,15 @@ class Trainer:
                 host_range=dist.host_batch_slice(self.eval_batch)):
             n_valid = int(batch.pop("num_valid"))     # global valid count
             placed = dist.form_global_batch(self.mesh, batch)
+            if self.cfg.train.eval_quantize and qstep is None:
+                qparams, qstep = self._quantized_eval(placed)
             # ONE compiled program per batch: logits + per-row BCE element
             # sums ride the same dispatch (the loss used to re-stage
             # gathered host logits through a second jitted call — double
             # dispatch cost on tunneled links)
-            logits_dev, row_loss_dev = self._eval_step(
-                self.state.params, placed)
+            logits_dev, row_loss_dev = (
+                qstep(qparams, placed) if qstep is not None
+                else self._eval_step(self.state.params, placed))
             logits = dist.gather_global_rows(self.mesh, logits_dev)[:n_valid]
             row_loss = dist.gather_global_rows(
                 self.mesh, row_loss_dev)[:n_valid]

@@ -1,0 +1,66 @@
+"""train.eval_quantize: evaluate()/predict() on the int8 serving forward.
+
+Beyond the reference (its serving/eval speed story is an unshipped README
+TODO); the knob reuses models/quantized.py, whose fidelity is oracle-pinned
+in tests/test_quant.py — here we assert the Trainer plumbing: quantized
+eval runs over the mesh, produces metrics that agree with the bf16 eval,
+and recalibrates lazily per call from the live params.
+"""
+
+import numpy as np
+import pytest
+
+from chestxray_vit_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+from chestxray_vit_tpu.data.testing import build_fake_nih
+from chestxray_vit_tpu.train.trainer import Trainer
+
+
+def _cfg(tmp_path, **train_kw) -> Config:
+    train = dict(batch_size_per_core=2, learning_rate=2e-3, num_epochs=1,
+                 eval_strategy="no", save_strategy="no",
+                 logging_steps=50, output_dir=str(tmp_path / "out"),
+                 report_to="none", seed=0)
+    train.update(train_kw)
+    return Config(
+        data=DataConfig(backend="memory"),
+        model=ModelConfig(img_size=64, patch_size=16, hidden_size=64,
+                          num_layers=2, num_heads=4, mlp_dim=128,
+                          dtype="float32", attention_impl="xla"),
+        train=TrainConfig(**train),
+    )
+
+
+@pytest.fixture(scope="module")
+def fake():
+    return build_fake_nih(num_images=64, image_size=64, seed=7)
+
+
+@pytest.mark.parametrize("mode", ["static", "dynamic"])
+def test_quantized_eval_matches_bf16_eval(tmp_path, fake, mode):
+    cfg = _cfg(tmp_path)
+    tr = Trainer(cfg, store=fake.store, pretrained=False)
+    tr.train()
+    base_logits, _, base_loss = tr._forward_all(tr.bundle.val)
+
+    cfg.train.eval_quantize = mode
+    q_logits, _, q_loss = tr._forward_all(tr.bundle.val)
+    # int8 logits agree tightly with the bf16 eval forward (AUROC itself
+    # is too rank-unstable on a 12-image val split to compare directly)
+    corr = np.corrcoef(base_logits.ravel(), q_logits.ravel())[0, 1]
+    assert corr > 0.999
+    assert np.max(np.abs(base_logits - q_logits)) < 0.05
+    assert np.isfinite(q_loss) and abs(q_loss - base_loss) < 0.05
+
+    # evaluate()/predict() take the same path end-to-end
+    ev = tr.evaluate()
+    assert np.isfinite(ev["eval_loss"]) and 0.0 <= ev["avg_auroc"] <= 1.0
+    logits, labels, test_metrics = tr.predict()
+    assert logits.shape[0] == len(tr.bundle.test)
+    assert np.isfinite(test_metrics["test_loss"])
+    cfg.train.eval_quantize = None
+
+
+def test_bad_mode_rejected(tmp_path, fake):
+    cfg = _cfg(tmp_path, eval_quantize="int4")
+    with pytest.raises(ValueError, match="eval_quantize"):
+        Trainer(cfg, store=fake.store, pretrained=False)
