@@ -153,7 +153,15 @@ def calibrate_thresholds(logits: np.ndarray, labels: np.ndarray
         p_sorted = probs[order, j]
         tp = np.cumsum(lab[order, j])
         k = np.arange(1, n + 1)
-        f1 = 2.0 * tp / (k + pos)
+        # only cuts at tie-block boundaries are realizable by a threshold:
+        # a midpoint inside a run of equal probabilities degenerates to the
+        # tied value itself, and `>=` then includes the WHOLE block — the
+        # realized F1 would differ from the computed one (ties are real:
+        # f64 sigmoid saturates to exactly 1.0 for logits ≳ 36.7)
+        realizable = np.empty(n, dtype=bool)
+        realizable[:-1] = p_sorted[:-1] > p_sorted[1:]
+        realizable[-1] = True
+        f1 = np.where(realizable, 2.0 * tp / (k + pos), -1.0)
         best = int(np.argmax(f1))
         lo = p_sorted[best]
         hi = p_sorted[best + 1] if best + 1 < n else 0.0

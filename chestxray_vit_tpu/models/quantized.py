@@ -48,6 +48,50 @@ _SITE_OF = {"wq": "attn_in", "wk": "attn_in", "wv": "attn_in",
             "wo": "attn_out", "mlp_in": "mlp_in", "mlp_out": "mlp_mid"}
 
 
+def _encoder_scan(x: jax.Array, blocks: Params, cfg: ModelConfig, proj,
+                  collect_amax: bool = False):
+    """ONE copy of the pre-LN block math (LN → QKV → flash attention →
+    WO+residual → LN → GELU MLP + residual) shared by the quantized
+    forward and by static calibration, so the ranges calibration observes
+    are by construction those of the forward it calibrates.
+
+    ``proj(y, bp, key)`` supplies the projection for block entry ``key``
+    (dense weights during calibration, int8 matmuls when serving).
+    ``collect_amax`` additionally stacks per-layer max|x| at the four
+    quantized-matmul input sites. Returns ``(x, sites-or-None)``.
+    """
+    h, hd = cfg.num_heads, cfg.head_dim
+
+    def heads(y):                        # [B, S, D] → [B, H, S, hd]
+        bsz, s, _ = y.shape
+        return y.reshape(bsz, s, h, hd).transpose(0, 2, 1, 3)
+
+    def amax(y):
+        return jnp.max(jnp.abs(y.astype(jnp.float32)))
+
+    def body(x, bp):
+        a_in = vit.layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"],
+                              cfg.layernorm_eps)
+        q = heads(proj(a_in, bp, "wq"))
+        k = heads(proj(a_in, bp, "wk"))
+        v = heads(proj(a_in, bp, "wv"))
+        from chestxray_vit_tpu.ops.flash_attention import attention
+        o = attention(q, k, v, impl=cfg.attention_impl, inference=True)
+        bsz, _, s, _ = o.shape
+        merged = o.transpose(0, 2, 1, 3).reshape(bsz, s, h * hd)
+        x = x + proj(merged, bp, "wo")
+        m_in = vit.layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
+                              cfg.layernorm_eps)
+        mid = _gelu(proj(m_in, bp, "mlp_in"),
+                    approximate=cfg.gelu_approximate)
+        x = x + proj(mid, bp, "mlp_out")
+        ys = ((amax(a_in), amax(merged), amax(m_in), amax(mid))
+              if collect_amax else None)
+        return x, ys
+
+    return jax.lax.scan(body, x, blocks)
+
+
 def calibrate_vit_scales(params: Params, images: jax.Array,
                          cfg: ModelConfig, margin: float = 1.0) -> Params:
     """Observe activation amax at every quantized matmul input.
@@ -63,6 +107,17 @@ def calibrate_vit_scales(params: Params, images: jax.Array,
     compute_dtype = jnp.dtype(cfg.dtype)
     h, hd = cfg.num_heads, cfg.head_dim
 
+    # one traced program per distinct model geometry: rebuilding the jit
+    # closure every call would re-trace/lower the calibration forward on
+    # every cadence eval (train.eval_quantize='static')
+    cache_key = (cfg.dtype, cfg.patch_size, cfg.hidden_size, h, hd,
+                 cfg.layernorm_eps, cfg.attention_impl,
+                 cfg.gelu_approximate, float(margin))
+    cached = _CALIBRATE_CACHE.get(cache_key)
+    if cached is not None:
+        s_patch, sites = cached(params, images)
+        return _scales_tree(s_patch, sites, margin)
+
     @jax.jit
     def run(params, images):
         patches = vit.patchify(images.astype(jnp.float32), cfg.patch_size)
@@ -77,41 +132,25 @@ def calibrate_vit_scales(params: Params, images: jax.Array,
         x = jnp.concatenate([cls, x], axis=1)
         x = x + params["pos_embed"].astype(compute_dtype)
 
-        def dense(y, e):
+        def dense_proj(y, bp, key):
+            e = bp[key]
             return (y.astype(compute_dtype)
                     @ e["kernel"].astype(compute_dtype)
                     + e["bias"].astype(compute_dtype))
 
-        def heads(y):
-            bsz, s, _ = y.shape
-            return y.reshape(bsz, s, h, hd).transpose(0, 2, 1, 3)
-
-        def amax(y):
-            return jnp.max(jnp.abs(y.astype(jnp.float32)))
-
-        def body(x, bp):
-            a_in = vit.layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"],
-                                  cfg.layernorm_eps)
-            q = heads(dense(a_in, bp["wq"]))
-            k = heads(dense(a_in, bp["wk"]))
-            v = heads(dense(a_in, bp["wv"]))
-            from chestxray_vit_tpu.ops.flash_attention import attention
-            o = attention(q, k, v, impl=cfg.attention_impl, inference=True)
-            bsz, _, s, _ = o.shape
-            merged = o.transpose(0, 2, 1, 3).reshape(bsz, s, h * hd)
-            x = x + dense(merged, bp["wo"])
-            m_in = vit.layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
-                                  cfg.layernorm_eps)
-            mid = _gelu(dense(m_in, bp["mlp_in"]),
-                        approximate=cfg.gelu_approximate)
-            x = x + dense(mid, bp["mlp_out"])
-            return x, (amax(a_in), amax(merged), amax(m_in), amax(mid))
-
-        _, sites = jax.lax.scan(body, x, params["blocks"])
+        _, sites = _encoder_scan(x, params["blocks"], cfg, dense_proj,
+                                 collect_amax=True)
         return s_patch, sites
 
+    _CALIBRATE_CACHE[cache_key] = run
     s_patch, sites = run(params, images)
+    return _scales_tree(s_patch, sites, margin)
 
+
+_CALIBRATE_CACHE: Dict[tuple, Any] = {}
+
+
+def _scales_tree(s_patch, sites, margin: float) -> Params:
     def to_scale(a):
         return jnp.maximum(a.astype(jnp.float32) * margin, 1e-6) / 127.0
 
@@ -165,10 +204,10 @@ def apply_quantized(qparams: Params, images: jax.Array,
 
     ``backend="pallas"`` (static scales only) runs every int8 matmul as
     one Mosaic kernel with the dequant/bias/residual/GELU/re-quantize
-    epilogue fused (``ops/int8_pallas.py`` — measured 226 vs XLA's 200
-    TFLOP/s at ViT shapes on this chip)."""
+    epilogue fused (``ops/int8_pallas.py``). Measured throughput-parity
+    with the XLA lowering at ViT shapes — XLA stays the default
+    (BENCH_NOTES "Mosaic int8 integration")."""
     compute_dtype = jnp.dtype(cfg.dtype)
-    h, hd = cfg.num_heads, cfg.head_dim
 
     static = "act" in qparams["blocks"]
     if backend == "pallas":
@@ -199,39 +238,16 @@ def apply_quantized(qparams: Params, images: jax.Array,
     x = jnp.concatenate([cls, x], axis=1)
     x = x + qparams["pos_embed"].astype(compute_dtype)
 
-    def proj(y, bp_entry, xs=None):
-        if xs is not None:
-            return int8_matmul_static(y, bp_entry["qw"], xs,
-                                      bp_entry["bias"],
+    def int8_proj(y, bp, key):
+        act = bp.get("act")
+        if act is not None:
+            return int8_matmul_static(y, bp[key]["qw"],
+                                      act[_SITE_OF[key]], bp[key]["bias"],
                                       out_dtype=compute_dtype)
-        return int8_matmul(y, bp_entry["qw"], bp_entry["bias"],
+        return int8_matmul(y, bp[key]["qw"], bp[key]["bias"],
                            out_dtype=compute_dtype)
 
-    def heads(y):                        # [B, S, D] → [B, H, S, hd]
-        bsz, s, d = y.shape
-        return y.reshape(bsz, s, h, hd).transpose(0, 2, 1, 3)
-
-    def body(x, bp):
-        act = bp.get("act")
-        xs = (lambda k: act[_SITE_OF[k]] if act is not None else None)
-        a_in = vit.layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"],
-                              cfg.layernorm_eps)
-        q = heads(proj(a_in, bp["wq"], xs("wq")))
-        k = heads(proj(a_in, bp["wk"], xs("wk")))
-        v = heads(proj(a_in, bp["wv"], xs("wv")))
-        from chestxray_vit_tpu.ops.flash_attention import attention
-        o = attention(q, k, v, impl=cfg.attention_impl, inference=True)
-        bsz, _, s, _ = o.shape
-        merged = o.transpose(0, 2, 1, 3).reshape(bsz, s, h * hd)
-        x = x + proj(merged, bp["wo"], xs("wo"))
-        m_in = vit.layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
-                              cfg.layernorm_eps)
-        mid = _gelu(proj(m_in, bp["mlp_in"], xs("mlp_in")),
-                    approximate=cfg.gelu_approximate)
-        x = x + proj(mid, bp["mlp_out"], xs("mlp_out"))
-        return x, None
-
-    x, _ = jax.lax.scan(body, x, qparams["blocks"])
+    x, _ = _encoder_scan(x, qparams["blocks"], cfg, int8_proj)
 
     fl = qparams["final_ln"]
     x = vit.layer_norm(x, fl["scale"], fl["bias"], cfg.layernorm_eps)

@@ -94,6 +94,10 @@ class Predictor:
             from jax.sharding import Mesh
             n = (len(jax.devices()) if data_parallel is True
                  else int(data_parallel))
+            if n < 1:
+                raise ValueError(
+                    f"data_parallel={n} must be >= 1 (or True for all "
+                    f"devices)")
             if n > len(jax.devices()):
                 raise ValueError(
                     f"data_parallel={n} > {len(jax.devices())} devices")

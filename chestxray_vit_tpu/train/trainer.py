@@ -157,20 +157,29 @@ class Trainer:
         )
         from chestxray_vit_tpu.ops.preprocess import prepare_pixel_values
 
+        if not hasattr(self, "_quant_eval_fns"):
+            # built ONCE: the jitted programs don't depend on the per-call
+            # scales (they ride inside qparams / as traced args), so
+            # rebuilding closures per evaluate() would only defeat jit's
+            # identity cache and re-trace every cadence eval
+            cfg = self.cfg
+            self._quant_eval_fns = {
+                "prepare": jax.jit(lambda b: prepare_pixel_values(
+                    b, out_size=cfg.model.img_size,
+                    mean=cfg.data.image_mean, std=cfg.data.image_std)),
+                "quantize": jax.jit(
+                    quantize_vit_params,
+                    out_shardings=S.replicated(self.mesh)),
+                "step": S.jit_quantized_eval_step(
+                    S.make_quantized_eval_step(cfg), self.mesh),
+            }
+        fns = self._quant_eval_fns
         scales = None
         if self.cfg.train.eval_quantize == "static":
-            images = jax.jit(lambda b: prepare_pixel_values(
-                b, out_size=self.cfg.model.img_size,
-                mean=self.cfg.data.image_mean,
-                std=self.cfg.data.image_std))(placed)
-            scales = calibrate_vit_scales(self.state.params, images,
-                                          self.cfg.model)
-        qparams = jax.jit(
-            lambda p: quantize_vit_params(p, scales),
-            out_shardings=S.replicated(self.mesh))(self.state.params)
-        step = S.jit_quantized_eval_step(
-            S.make_quantized_eval_step(self.cfg), self.mesh)
-        return qparams, step
+            scales = calibrate_vit_scales(
+                self.state.params, fns["prepare"](placed), self.cfg.model)
+        qparams = fns["quantize"](self.state.params, scales)
+        return qparams, fns["step"]
 
     # ------------------------------------------------------------------
     # data plumbing

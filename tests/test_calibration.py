@@ -35,6 +35,40 @@ def test_calibration_is_optimal_vs_brute_force():
             assert best >= alt - 1e-12, (j, cand, alt, best)
 
 
+def test_calibration_optimal_under_ties():
+    """Tied probabilities: a cut inside a tie block is NOT realizable by a
+    threshold (the midpoint degenerates to the tied value and `>=` takes
+    the whole block). Regression: probs [0.8, 0.2, 0.6, 0.8, 0.8] /
+    labels [1,0,1,0,0] used to return 0.8 (realized F1 0.4, worse than
+    the 0.5 default); the realizable optimum includes the 0.6 sample
+    (0.2 < th <= 0.6, F1 2/3)."""
+    from sklearn.metrics import f1_score
+    probs = np.array([0.8, 0.2, 0.6, 0.8, 0.8])
+    labels = np.array([1.0, 0.0, 1.0, 0.0, 0.0])[:, None]
+    logits = np.log(probs / (1 - probs))[:, None]
+    th = M.calibrate_thresholds(logits, labels)
+    got = f1_score(labels[:, 0], probs >= th[0], zero_division=0)
+    for cand in np.unique(probs):
+        alt = f1_score(labels[:, 0], probs >= cand, zero_division=0)
+        assert got >= alt - 1e-12, (cand, alt, got)
+    assert 0.2 < th[0] <= 0.6 and abs(got - 2.0 / 3.0) < 1e-12
+
+
+def test_calibration_saturated_logits():
+    """f64 sigmoid rounds to exactly 1.0 for logits ≳ 37 — confident
+    models produce tied blocks at 1.0; the sweep must stay realizable."""
+    from sklearn.metrics import f1_score
+    logits = np.array([50.0, 60.0, 70.0, -50.0, 2.0, 1.0])[:, None]
+    labels = np.array([1.0, 1.0, 0.0, 0.0, 1.0, 0.0])[:, None]
+    probs = 1.0 / (1.0 + np.exp(-logits[:, 0].astype(np.float64)))
+    assert (probs == 1.0).sum() == 3                  # the tie is real
+    th = M.calibrate_thresholds(logits, labels)
+    got = f1_score(labels[:, 0], probs >= th[0], zero_division=0)
+    for cand in np.unique(probs):
+        alt = f1_score(labels[:, 0], probs >= cand, zero_division=0)
+        assert got >= alt - 1e-12, (cand, alt, got)
+
+
 def test_calibration_beats_half_on_miscalibrated_scores():
     logits, labels = _synthetic(seed=3)
     th = M.calibrate_thresholds(logits, labels)
