@@ -185,6 +185,52 @@ def cmd_export(argv: List[str]) -> int:
     return 0
 
 
+def cmd_quantize(argv: List[str]) -> int:
+    """Quantize a saved model once and persist the int8 artifact
+    (``<model-dir>/quantized/``): ~4× smaller weights; serving cold
+    starts (`serve --quantize`, `Predictor.from_model_dir`) then skip
+    the quantize pass and, for static mode, the calibration forward.
+    Beyond the reference (its serving story is a README TODO)."""
+    import argparse
+    ap = argparse.ArgumentParser(prog="chestxray_vit_tpu quantize")
+    ap.add_argument("--model-dir", required=True,
+                    help="a Trainer save_model() directory")
+    ap.add_argument("--mode", choices=("static", "dynamic"),
+                    default="static")
+    ap.add_argument("--calibration", nargs="*", default=None,
+                    help="PNG/JPEG files for static calibration "
+                         "(synthetic-noise fallback when omitted — pass "
+                         "real images for production)")
+    ap.add_argument("--out", default=None,
+                    help="artifact directory (default "
+                         "<model-dir>/quantized)")
+    ns = ap.parse_args(argv)
+
+    import jax
+
+    from chestxray_vit_tpu.models import vit
+    from chestxray_vit_tpu.serve.inference import Predictor
+    from chestxray_vit_tpu.train.checkpoint import load_model
+
+    calibration = None
+    if ns.calibration:
+        calibration = [open(p, "rb").read() for p in ns.calibration]
+    # build fresh (never via from_model_dir, which would auto-load and
+    # re-save an existing artifact instead of re-quantizing)
+    with open(os.path.join(os.path.expanduser(ns.model_dir),
+                           "config.json")) as f:
+        cfg = Config.from_json(f.read())
+    template = vit.init_params(jax.random.key(0), cfg.model)
+    params, classes = load_model(ns.model_dir, template)
+    pred = Predictor(params, cfg.model, classes, quantize=ns.mode,
+                     calibration=calibration)
+    out = ns.out or os.path.join(os.path.expanduser(ns.model_dir),
+                                 "quantized")
+    pred.save_quantized(out)
+    print(f"int8 artifact ({ns.mode}) written to {out}")
+    return 0
+
+
 COMMANDS = {
     "train": cmd_train,
     "eval": cmd_eval,
@@ -208,9 +254,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         return cmd_maps(argv)
     if cmd == "export":
         return cmd_export(argv)
+    if cmd == "quantize":
+        return cmd_quantize(argv)
     if cmd not in COMMANDS:
         print(f"unknown command {cmd!r}; one of "
-              f"{sorted([*COMMANDS, 'export', 'maps', 'serve'])}")
+              f"{sorted([*COMMANDS, 'export', 'maps', 'quantize', 'serve'])}")
         return 2
     cfg = parse_cli(argv)
     return COMMANDS[cmd](cfg)

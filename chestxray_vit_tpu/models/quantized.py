@@ -325,3 +325,78 @@ def _apply_static_pallas(qparams: Params, images: jax.Array,
     return (jnp.dot(x[:, 0, :].astype(jnp.float32),
                     head["kernel"].astype(jnp.float32))
             + head["bias"].astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# int8 artifact: save the quantized tree once, serve without recalibrating
+# ---------------------------------------------------------------------------
+
+def save_quantized(directory: str, qparams: Params) -> str:
+    """Persist a ``quantize_vit_params`` tree as an npz artifact.
+
+    ~4× smaller than the f32 weights and, for the static mode, carries
+    the calibrated activation scales — so serving cold-starts skip both
+    the quantize pass and the calibration forward. Written next to the
+    saved model by ``cli quantize`` / ``Predictor.save_quantized``;
+    ``Predictor.from_model_dir(quantize=...)`` auto-loads it.
+    """
+    import json as _json
+    import os as _os
+
+    directory = _os.path.abspath(_os.path.expanduser(directory))
+    _os.makedirs(directory, exist_ok=True)
+    import numpy as _np
+
+    flat = jax.tree_util.tree_flatten_with_path(qparams)[0]
+    arrays = {jax.tree_util.keystr(path): _np.asarray(leaf)
+              for path, leaf in flat}
+    _np.savez(_os.path.join(directory, "qparams.npz"), **arrays)
+    mode = "static" if "act" in qparams["blocks"] else "dynamic"
+    with open(_os.path.join(directory, "quantized.json"), "w") as f:
+        _json.dump({"format": 1, "mode": mode}, f)
+    return directory
+
+
+def load_quantized(directory: str, cfg: ModelConfig) -> Params:
+    """Load a :func:`save_quantized` artifact back into the exact tree
+    structure ``apply_quantized`` expects (template-unflattened, so a
+    model-geometry mismatch fails loudly on shape/key instead of
+    producing garbage)."""
+    import json as _json
+    import os as _os
+
+    import numpy as _np
+
+    directory = _os.path.abspath(_os.path.expanduser(directory))
+    with open(_os.path.join(directory, "quantized.json")) as f:
+        meta = _json.load(f)
+    if meta.get("format") != 1:
+        raise ValueError(f"unknown quantized artifact format {meta!r}")
+    data = _np.load(_os.path.join(directory, "qparams.npz"))
+
+    # template with the right structure (values discarded); static trees
+    # additionally carry the act-scale leaves
+    template = quantize_vit_params(
+        vit.init_params(jax.random.key(0), cfg),
+        _dummy_scales(cfg) if meta["mode"] == "static" else None)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, tmpl in flat:
+        key = jax.tree_util.keystr(path)
+        if key not in data:
+            raise ValueError(f"quantized artifact missing leaf {key}")
+        arr = data[key]
+        if tuple(arr.shape) != tuple(tmpl.shape):
+            raise ValueError(
+                f"quantized artifact leaf {key} has shape {arr.shape}, "
+                f"model config expects {tuple(tmpl.shape)}")
+        leaves.append(jnp.asarray(arr))
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(template), leaves)
+
+
+def _dummy_scales(cfg: ModelConfig) -> Params:
+    ones = jnp.ones((cfg.num_layers,), jnp.float32)
+    return {"patch": jnp.float32(1.0),
+            "blocks": {n: ones for n in ("attn_in", "attn_out",
+                                         "mlp_in", "mlp_mid")}}

@@ -48,7 +48,7 @@ class Predictor:
                  batch_size: int = 8, canvas_size: int = 1024,
                  placement: str = "host", quantize=False,
                  calibration: Optional[Sequence[np.ndarray]] = None,
-                 data_parallel=False):
+                 data_parallel=False, qparams=None):
         """``placement`` picks where crop/pad/resize runs:
 
         - 'host' (default): decode + native C++ crop/pad/resize on host,
@@ -78,6 +78,11 @@ class Predictor:
         first N) with replicated params — multi-chip serving throughput
         through the same API; micro-batch buckets round up to a multiple
         of the mesh size. Composes with ``quantize``.
+
+        ``qparams`` injects a prebuilt quantized tree
+        (``models.quantized.load_quantized`` — the `cli quantize`
+        artifact), skipping the per-startup quantize pass and, for
+        static mode, the calibration forward.
         """
         self.params = params
         self.cfg = cfg
@@ -135,21 +140,34 @@ class Predictor:
                 calibrate_vit_scales,
                 quantize_vit_params,
             )
-            scales = None
-            if qmode == "static":
-                if calibration is None:
-                    rng = np.random.default_rng(0)
-                    calibration = [rng.integers(0, 256, (cfg.img_size,
-                                                         cfg.img_size),
-                                                np.uint8)
-                                   for _ in range(8)]
-                staged = tuple(jnp.asarray(a)
-                               for a in self._stage(list(calibration), 0))
-                scales = jax.tree.map(
-                    np.asarray,
-                    calibrate_vit_scales(self.params, images_of(staged),
-                                         cfg))
-            self._qparams = quantize_vit_params(params, scales)
+            if qparams is not None:
+                # prebuilt artifact (save_quantized/load_quantized): must
+                # carry static scales iff static mode was requested
+                saved_mode = ("static" if "act" in qparams["blocks"]
+                              else "dynamic")
+                if saved_mode != qmode:
+                    raise ValueError(
+                        f"prebuilt qparams are {saved_mode!r} but "
+                        f"quantize={qmode!r} was requested")
+                self._qparams = qparams
+            else:
+                scales = None
+                if qmode == "static":
+                    if calibration is None:
+                        rng = np.random.default_rng(0)
+                        calibration = [rng.integers(0, 256,
+                                                    (cfg.img_size,
+                                                     cfg.img_size),
+                                                    np.uint8)
+                                       for _ in range(8)]
+                    staged = tuple(jnp.asarray(a)
+                                   for a in self._stage(list(calibration),
+                                                        0))
+                    scales = jax.tree.map(
+                        np.asarray,
+                        calibrate_vit_scales(self.params,
+                                             images_of(staged), cfg))
+                self._qparams = quantize_vit_params(params, scales)
 
         if quantize:
             def forward(qparams, *staged):
@@ -187,14 +205,40 @@ class Predictor:
     def from_model_dir(cls, directory: str, batch_size: int = 8,
                        placement: str = "host",
                        quantize=False, data_parallel=False) -> "Predictor":
-        with open(os.path.join(os.path.expanduser(directory),
-                               "config.json")) as f:
+        """Load a ``Trainer.save_model()`` directory. With ``quantize``
+        set, a matching ``quantized/`` artifact in the directory (written
+        by ``cli quantize`` / :meth:`save_quantized`) is loaded instead
+        of re-quantizing — cold starts skip the quantize pass and the
+        static calibration forward."""
+        directory = os.path.expanduser(directory)
+        with open(os.path.join(directory, "config.json")) as f:
             cfg = Config.from_json(f.read())
         template = vit.init_params(jax.random.key(0), cfg.model)
         params, classes = load_model(directory, template)
+        qparams = None
+        qdir = os.path.join(directory, "quantized")
+        if quantize and os.path.exists(os.path.join(qdir,
+                                                    "quantized.json")):
+            import json as _json
+
+            from chestxray_vit_tpu.models.quantized import load_quantized
+            with open(os.path.join(qdir, "quantized.json")) as f:
+                saved_mode = _json.load(f).get("mode")
+            want = "dynamic" if quantize is True else quantize
+            if saved_mode == want:
+                qparams = load_quantized(qdir, cfg.model)
         return cls(params, cfg.model, classes, batch_size,
                    placement=placement, quantize=quantize,
-                   data_parallel=data_parallel)
+                   data_parallel=data_parallel, qparams=qparams)
+
+    def save_quantized(self, directory: str) -> str:
+        """Persist this Predictor's quantized tree (int8 weights + static
+        scales when calibrated) as a ``quantized/`` artifact —
+        ``from_model_dir`` auto-loads it on the next start."""
+        if not self.quantize:
+            raise ValueError("Predictor was built without quantize=")
+        from chestxray_vit_tpu.models.quantized import save_quantized
+        return save_quantized(directory, self._qparams)
 
     # ------------------------------------------------------------------
 
