@@ -1,0 +1,124 @@
+"""Token-merging ViT forward for serving (opt-in speed/quality knob).
+
+``apply_tome`` is the unrolled-layer counterpart of ``vit.apply`` /
+``quantized.apply_quantized``: after every attention block the r most
+similar token pairs merge (``ops/tome.py``; metric = attention keys,
+mean over heads — arXiv:2210.09461 reimplemented), so layer l processes
+S - l·r tokens. Token counts shrink per layer → shapes differ per layer
+→ a python-unrolled loop instead of the scan (12 compiled block
+instances; forward-only, so no remat pressure). Composes with the int8
+static/dynamic projections or the dense bf16 weights.
+
+Accuracy framing (honest): merging is lossy by design — the knob trades
+~linear throughput in merged tokens against fidelity. The exact
+matching/merge math is oracle-tested (tests/test_tome.py); end-to-end
+fidelity on a trained model must be validated on real data by the user
+(the paper reports ≤0.4-pt ImageNet top-1 cost at r=16 for ViT-B/16
+off-the-shelf; this box has no NIH data to verify AUC against).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from chestxray_vit_tpu.config import ModelConfig
+from chestxray_vit_tpu.models import vit
+from chestxray_vit_tpu.models.quantized import _SITE_OF
+from chestxray_vit_tpu.ops.gelu import gelu as _gelu
+from chestxray_vit_tpu.ops.quant import int8_matmul, int8_matmul_static
+from chestxray_vit_tpu.ops.tome import tome_merge
+
+Params = Dict[str, Any]
+
+
+def apply_tome(params: Params, images: jax.Array, cfg: ModelConfig,
+               r: int, quantized: bool = False) -> jax.Array:
+    """NHWC images → f32 logits, merging ``r`` token pairs per layer.
+
+    ``params``: the plain trained tree, or a ``quantize_vit_params`` tree
+    with ``quantized=True`` (static or dynamic). ``r`` clamps per layer
+    to ceil(S_l/2) - 1 (the paper's schedule), so deep layers with few
+    tokens left merge less instead of erroring.
+    """
+    if r <= 0:
+        raise ValueError(f"tome r={r} must be positive (use the plain "
+                         f"forward for r=0)")
+    compute_dtype = jnp.dtype(cfg.dtype)
+    h, hd = cfg.num_heads, cfg.head_dim
+
+    def proj(y, bp, key):
+        if not quantized:
+            e = bp[key]
+            return (y.astype(compute_dtype)
+                    @ e["kernel"].astype(compute_dtype)
+                    + e["bias"].astype(compute_dtype))
+        act = bp.get("act")
+        if act is not None:
+            return int8_matmul_static(y, bp[key]["qw"], act[_SITE_OF[key]],
+                                      bp[key]["bias"],
+                                      out_dtype=compute_dtype)
+        return int8_matmul(y, bp[key]["qw"], bp[key]["bias"],
+                           out_dtype=compute_dtype)
+
+    # --- patch embed + CLS + pos embed (same math as the scan paths) ---
+    patches = vit.patchify(images.astype(jnp.float32), cfg.patch_size)
+    pe = params["patch_embed"]
+    if quantized:
+        if "xs" in pe:
+            x = int8_matmul_static(patches, pe["qw"], pe["xs"], pe["bias"],
+                                   out_dtype=compute_dtype)
+        else:
+            x = int8_matmul(patches, pe["qw"], pe["bias"],
+                            out_dtype=compute_dtype)
+    else:
+        x = (patches.astype(compute_dtype)
+             @ pe["kernel"].astype(compute_dtype)
+             + pe["bias"].astype(compute_dtype))
+    b = x.shape[0]
+    cls = jnp.broadcast_to(params["cls_token"].astype(compute_dtype),
+                           (b, 1, cfg.hidden_size))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = (x + params["pos_embed"].astype(compute_dtype)
+         ).astype(compute_dtype)
+
+    sizes = jnp.ones(x.shape[:2], jnp.float32)
+    blocks = params["blocks"]
+
+    def heads(y):
+        bsz, s, _ = y.shape
+        return y.reshape(bsz, s, h, hd).transpose(0, 2, 1, 3)
+
+    for layer in range(cfg.num_layers):
+        bp = jax.tree.map(lambda a: a[layer], blocks)
+        a_in = vit.layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"],
+                              cfg.layernorm_eps)
+        q = heads(proj(a_in, bp, "wq"))
+        k = heads(proj(a_in, bp, "wk"))
+        v = heads(proj(a_in, bp, "wv"))
+        from chestxray_vit_tpu.ops.flash_attention import attention
+        o = attention(q, k, v, impl=cfg.attention_impl, inference=True)
+        bsz, _, s, _ = o.shape
+        merged = o.transpose(0, 2, 1, 3).reshape(bsz, s, h * hd)
+        x = x + proj(merged, bp, "wo")
+        # ToMe sits between attention and MLP; the metric is this
+        # layer's keys (mean over heads), aligned with x pre-merge.
+        # r clamps per layer (paper's schedule): deep layers with few
+        # tokens left merge less instead of erroring out
+        r_l = min(r, (x.shape[1] + 1) // 2 - 1)
+        if r_l > 0:
+            x, sizes = tome_merge(x, k.mean(axis=1), sizes, r_l)
+        m_in = vit.layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
+                              cfg.layernorm_eps)
+        mid = _gelu(proj(m_in, bp, "mlp_in"),
+                    approximate=cfg.gelu_approximate)
+        x = x + proj(mid, bp, "mlp_out")
+
+    fl = params["final_ln"]
+    x = vit.layer_norm(x, fl["scale"], fl["bias"], cfg.layernorm_eps)
+    head = params["head"]
+    return (jnp.dot(x[:, 0, :].astype(jnp.float32),
+                    head["kernel"].astype(jnp.float32))
+            + head["bias"].astype(jnp.float32))

@@ -1,0 +1,153 @@
+"""Token merging (ToMe-style) for inference: bipartite soft matching.
+
+Beyond the reference (speed/quality-tradeoff serving accelerator, opt-in
+via ``Predictor(tome_r=...)``): each transformer layer merges the ``r``
+most similar token pairs, so later layers process fewer tokens — the
+measured step time is ~linear in token count (BENCH_NOTES "Round 3:
+token merging"), which makes the upside real on this chip.
+
+Algorithm (reimplemented from Bolya et al., "Token Merging: Your ViT But
+Faster", arXiv:2210.09461 — no code copied): tokens split into
+alternating sets A/B; each A-token proposes its most-similar B-token
+under cosine similarity of the attention KEYS (mean over heads); the r
+highest-scoring proposals merge source→destination with a size-weighted
+mean; sizes accumulate so repeated merges stay means over the original
+tokens. The CLS token is protected (never a source) and stays at
+position 0. All output shapes are static (r is a compile-time constant);
+only gather/scatter indices are data-dependent — TPU/jit-friendly.
+
+Deliberate deviation, documented: no proportional attention (the paper's
+optional log-size attention bias; ~0.1-0.2 pt effect off-the-shelf) —
+it would need a per-key bias operand in the flash kernel and is not
+worth the kernel surgery for classification serving.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def bipartite_soft_matching(metric: jax.Array, r: int
+                            ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Pick the r most-mergeable (source, destination) token pairs.
+
+    metric: [B, S, d] similarity features (attention keys, mean over
+    heads). Token 0 (CLS) is protected. Returns ``(unm_idx, src_idx,
+    dst_idx)``: A-set indices kept / merged, and for each merged source
+    its B-set destination. A = even positions, B = odd; with S tokens,
+    |A| = ceil(S/2), |B| = floor(S/2); requires 0 < r < |A|.
+    """
+    b, s, _ = metric.shape
+    na = (s + 1) // 2
+    if not 0 < r < na:
+        raise ValueError(f"r={r} must be in (0, {na}) for S={s}")
+    m = metric.astype(jnp.float32)
+    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-6)
+    a, bm = m[:, 0::2], m[:, 1::2]
+    scores = jnp.einsum("bad,bcd->bac", a, bm)        # [B, |A|, |B|]
+    scores = scores.at[:, 0, :].set(_NEG_INF)         # protect CLS
+    node_max = jnp.max(scores, axis=-1)               # [B, |A|]
+    node_idx = jnp.argmax(scores, axis=-1)            # [B, |A|]
+    edge_order = jnp.argsort(-node_max, axis=-1)      # best-first
+    src_idx = edge_order[:, :r]
+    # ascending kept-order preserves CLS at global position 0
+    unm_idx = jnp.sort(edge_order[:, r:], axis=-1)
+    dst_idx = jnp.take_along_axis(node_idx, src_idx, axis=-1)
+    return unm_idx, src_idx, dst_idx
+
+
+def merge_tokens(x: jax.Array, sizes: jax.Array, unm_idx: jax.Array,
+                 src_idx: jax.Array, dst_idx: jax.Array
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """Apply a matching: size-weighted mean of each source into its
+    destination. x: [B, S, D]; sizes: [B, S] (token multiplicities,
+    ones initially). Returns ``(x', sizes')`` with S' = S - r tokens,
+    ordered [kept-A..., B...].
+
+    TPU formulation: the whole merge (keep-gather + source→destination
+    scatter-add + reorder) is ONE one-hot routing matmul. Dynamic
+    gather/scatter on [B, S, D] lowers to serialized loops on TPU —
+    measured ~1.7 ms/layer at ViT-B serving shapes, which ate the entire
+    token-reduction dividend; the routing matrix is a few-hundred-square
+    bf16 matmul the MXU does in ~µs (BENCH_NOTES "Round 3: token
+    merging"). Only tiny int32 [B, S/2] scatters remain (slot indices).
+    """
+    b, s, _ = x.shape
+    na = (s + 1) // 2
+    r = src_idx.shape[1]
+    bidx = jnp.arange(b)[:, None]
+
+    # output slot for every A token: kept → its rank among kept
+    # (unm_idx is sorted, so CLS keeps slot 0); source → its
+    # destination's B slot
+    apos = jnp.zeros((b, na), jnp.int32)
+    apos = apos.at[bidx, unm_idx].set(
+        jnp.broadcast_to(jnp.arange(na - r, dtype=jnp.int32), (b, na - r)))
+    apos = apos.at[bidx, src_idx].set(na - r + dst_idx.astype(jnp.int32))
+    return _route_merge(x, sizes, apos, r)
+
+
+def tome_merge(x: jax.Array, metric: jax.Array, sizes: jax.Array, r: int
+               ) -> Tuple[jax.Array, jax.Array]:
+    """One ToMe step: match on ``metric``, merge ``x``. Returns
+    ``(x', sizes')`` with r fewer tokens.
+
+    Fused fast path (equivalent to ``merge_tokens(x, sizes,
+    *bipartite_soft_matching(metric, r))`` — pinned by
+    tests/test_tome.py): ``lax.top_k`` instead of a full argsort, kept-A
+    slots from a mask cumsum instead of index sorting/gathers, and ONE
+    bf16 routing matrix shared by the token and size reductions. The
+    gather/scatter formulation measured ~1.7 ms/layer at serving shapes;
+    this path's overhead is the routing matmul (~µs on the MXU) plus two
+    tiny int32 scatters.
+    """
+    b, s, _ = x.shape
+    na = (s + 1) // 2
+    if not 0 < r < na:
+        raise ValueError(f"r={r} must be in (0, {na}) for S={s}")
+    m = metric.astype(jnp.float32)
+    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-6)
+    scores = jnp.einsum("bad,bcd->bac", m[:, 0::2], m[:, 1::2])
+    scores = scores.at[:, 0, :].set(_NEG_INF)         # protect CLS
+    node_max = jnp.max(scores, axis=-1)               # [B, |A|]
+    node_idx = jnp.argmax(scores, axis=-1)
+    _, src_idx = jax.lax.top_k(node_max, r)           # [B, r]
+    dst_idx = jnp.take_along_axis(node_idx, src_idx, axis=-1)
+
+    bidx = jnp.arange(b)[:, None]
+    kept = jnp.ones((b, na), jnp.int32).at[bidx, src_idx].set(0)
+    # ascending kept order ≡ sorted unm_idx: CLS stays at slot 0
+    kept_rank = jnp.cumsum(kept, axis=1) - 1
+    apos = jnp.where(kept.astype(bool), kept_rank, 0)
+    apos = apos.at[bidx, src_idx].set(na - r + dst_idx.astype(jnp.int32))
+    return _route_merge(x, sizes, apos, r)
+
+
+def _route_merge(x: jax.Array, sizes: jax.Array, apos: jax.Array, r: int
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """Merge via one one-hot routing matmul given per-A-token output
+    slots (kept rank, or na-r+dst for sources)."""
+    b, s, _ = x.shape
+    na, nb = (s + 1) // 2, s // 2
+    so = s - r
+    bpos = jnp.broadcast_to(na - r + jnp.arange(nb, dtype=jnp.int32),
+                            (b, nb))
+    out_slot = jnp.zeros((b, s), jnp.int32)
+    out_slot = out_slot.at[:, 0::2].set(apos)
+    out_slot = out_slot.at[:, 1::2].set(bpos)
+    route = out_slot[..., None] == jnp.arange(so, dtype=jnp.int32)
+    mm_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    route = route.astype(mm_dtype)
+    sz = sizes.astype(jnp.float32)
+    xw = (x.astype(jnp.float32) * sz[..., None]).astype(mm_dtype)
+    num = jnp.einsum("bjs,bjd->bsd", route, xw,
+                     preferred_element_type=jnp.float32)
+    den = jnp.einsum("bjs,bj->bs", route, sz.astype(mm_dtype),
+                     preferred_element_type=jnp.float32)
+    out = (num / den[..., None]).astype(x.dtype)
+    return out, den

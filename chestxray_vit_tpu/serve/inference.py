@@ -48,7 +48,7 @@ class Predictor:
                  batch_size: int = 8, canvas_size: int = 1024,
                  placement: str = "host", quantize=False,
                  calibration: Optional[Sequence[np.ndarray]] = None,
-                 data_parallel=False, qparams=None):
+                 data_parallel=False, qparams=None, tome_r: int = 0):
         """``placement`` picks where crop/pad/resize runs:
 
         - 'host' (default): decode + native C++ crop/pad/resize on host,
@@ -83,6 +83,12 @@ class Predictor:
         (``models.quantized.load_quantized`` — the `cli quantize`
         artifact), skipping the per-startup quantize pass and, for
         static mode, the calibration forward.
+
+        ``tome_r`` merges the r most-similar token pairs per layer
+        (token merging, ``models/tome_forward.py``) — an opt-in
+        speed/quality tradeoff (throughput is ~linear in merged tokens;
+        fidelity must be validated on your data). Composes with
+        ``quantize``; rollout maps always run the full-token model.
         """
         self.params = params
         self.cfg = cfg
@@ -169,7 +175,17 @@ class Predictor:
                                              images_of(staged), cfg))
                 self._qparams = quantize_vit_params(params, scales)
 
-        if quantize:
+        self.tome_r = int(tome_r or 0)
+        if self.tome_r:
+            # opt-in speed/quality knob: merge r token pairs per layer
+            # (models/tome_forward.py); composes with quantize
+            from chestxray_vit_tpu.models.tome_forward import apply_tome
+
+            def forward(p, *staged):
+                logits = apply_tome(p, images_of(staged), cfg,
+                                    self.tome_r, quantized=bool(quantize))
+                return logits, jax.nn.sigmoid(logits)
+        elif quantize:
             def forward(qparams, *staged):
                 logits = apply_quantized(qparams, images_of(staged), cfg)
                 return logits, jax.nn.sigmoid(logits)
@@ -203,8 +219,8 @@ class Predictor:
 
     @classmethod
     def from_model_dir(cls, directory: str, batch_size: int = 8,
-                       placement: str = "host",
-                       quantize=False, data_parallel=False) -> "Predictor":
+                       placement: str = "host", quantize=False,
+                       data_parallel=False, tome_r: int = 0) -> "Predictor":
         """Load a ``Trainer.save_model()`` directory. With ``quantize``
         set, a matching ``quantized/`` artifact in the directory (written
         by ``cli quantize`` / :meth:`save_quantized`) is loaded instead
@@ -229,7 +245,8 @@ class Predictor:
                 qparams = load_quantized(qdir, cfg.model)
         return cls(params, cfg.model, classes, batch_size,
                    placement=placement, quantize=quantize,
-                   data_parallel=data_parallel, qparams=qparams)
+                   data_parallel=data_parallel, qparams=qparams,
+                   tome_r=tome_r)
 
     def save_quantized(self, directory: str) -> str:
         """Persist this Predictor's quantized tree (int8 weights + static

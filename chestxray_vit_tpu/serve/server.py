@@ -173,12 +173,18 @@ def main(argv: Optional[list] = None) -> int:
                     help="shard each micro-batch over the first N devices "
                          "(0/1 = single-device; requires batch-size "
                          "divisible by N)")
+    ap.add_argument("--tome-r", type=int, default=0,
+                    help="merge the r most-similar token pairs per layer "
+                         "(token merging — opt-in speed/quality tradeoff; "
+                         "validate fidelity on your data). Composes with "
+                         "--quantize")
     ns = ap.parse_args(argv)
     predictor = Predictor.from_model_dir(ns.model_dir,
                                          batch_size=ns.batch_size,
                                          placement=ns.placement,
                                          quantize=ns.quantize,
-                                         data_parallel=ns.data_parallel)
+                                         data_parallel=ns.data_parallel,
+                                         tome_r=ns.tome_r)
     print("[server] warming up (compiling batch buckets)...", flush=True)
     predictor.warmup()
     serve(predictor, ns.host, ns.port)
