@@ -100,3 +100,19 @@ def test_dp_validation_errors():
     with pytest.raises(ValueError, match="devices"):
         Predictor(params, cfg, batch_size=64,
                   data_parallel=len(jax.devices()) + 1)
+
+
+def test_dp_composes_with_tome_and_quantize():
+    """tome_r + quantize + data_parallel together: the merged-token
+    forward partitions over the data axis (top_k/routing are per-row
+    batched ops) and matches the single-device tome output."""
+    cfg = _cfg()
+    params = vit.init_params(jax.random.key(0), cfg)
+    grays = _grays(8, seed=3)
+    single = Predictor(params, cfg, batch_size=8, quantize="static",
+                       tome_r=2)
+    dp = Predictor(params, cfg, batch_size=8, quantize="static",
+                   data_parallel=4, tome_r=2)
+    a = single.predict_arrays(grays)
+    b = dp.predict_arrays(grays)
+    np.testing.assert_allclose(b.logits, a.logits, rtol=1e-4, atol=1e-4)
