@@ -137,3 +137,22 @@ def test_static_shapes_under_jit():
                    jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32),
                    jnp.ones((b, s), jnp.float32))
     assert out.shape == (b, s - r, d) and sizes.shape == (b, s - r)
+
+
+def test_bf16_merge_tracks_f32():
+    """Production dtype: the bf16 routing matmul (f32 accumulation)
+    tracks the f32 merge within bf16 rounding."""
+    rng = np.random.default_rng(6)
+    b, s, d, r = 2, 25, 16, 6
+    metric = rng.standard_normal((b, s, d)).astype(np.float32)
+    x = rng.standard_normal((b, s, d)).astype(np.float32)
+    sizes = np.ones((b, s), np.float32)
+    ref_x, ref_s = tome_merge(jnp.asarray(x), jnp.asarray(metric),
+                              jnp.asarray(sizes), r)
+    out_x, out_s = tome_merge(jnp.asarray(x, jnp.bfloat16),
+                              jnp.asarray(metric, jnp.bfloat16),
+                              jnp.asarray(sizes), r)
+    assert out_x.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.float32(out_x), np.asarray(ref_x),
+                               atol=0.05)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref_s))
