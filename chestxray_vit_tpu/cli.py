@@ -204,7 +204,14 @@ def cmd_quantize(argv: List[str]) -> int:
     ap.add_argument("--out", default=None,
                     help="artifact directory (default "
                          "<model-dir>/quantized)")
+    ap.add_argument("--compilation-cache", default=None,
+                    help="persistent XLA compile cache dir (the "
+                         "calibration forward skips recompiles)")
     ns = ap.parse_args(argv)
+    if ns.compilation_cache:
+        from chestxray_vit_tpu.utils.compilation_cache import (
+            enable_compilation_cache)
+        enable_compilation_cache(ns.compilation_cache)
 
     import jax
 

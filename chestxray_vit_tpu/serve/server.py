@@ -173,12 +173,19 @@ def main(argv: Optional[list] = None) -> int:
                     help="shard each micro-batch over the first N devices "
                          "(0/1 = single-device; requires batch-size "
                          "divisible by N)")
+    ap.add_argument("--compilation-cache", default=None,
+                    help="persistent XLA compile cache dir — server cold "
+                         "starts skip the bucket recompiles")
     ap.add_argument("--tome-r", type=int, default=0,
                     help="merge the r most-similar token pairs per layer "
                          "(token merging — opt-in speed/quality tradeoff; "
                          "validate fidelity on your data). Composes with "
                          "--quantize")
     ns = ap.parse_args(argv)
+    if ns.compilation_cache:
+        from chestxray_vit_tpu.utils.compilation_cache import (
+            enable_compilation_cache)
+        enable_compilation_cache(ns.compilation_cache)
     predictor = Predictor.from_model_dir(ns.model_dir,
                                          batch_size=ns.batch_size,
                                          placement=ns.placement,
