@@ -220,7 +220,14 @@ def cmd_quantize(argv: List[str]) -> int:
     from chestxray_vit_tpu.train.checkpoint import load_model
 
     calibration = None
-    if ns.calibration:
+    if ns.calibration is not None:
+        if not ns.calibration:
+            # an explicitly-passed-but-empty list (e.g. a shell glob that
+            # matched nothing) must not silently fall back to synthetic
+            # noise — the user asked for real-image calibration
+            raise SystemExit("--calibration was given but matched no "
+                             "files; pass image paths or omit the flag "
+                             "for the synthetic fallback")
         calibration = [open(p, "rb").read() for p in ns.calibration]
     # build fresh (never via from_model_dir, which would auto-load and
     # re-save an existing artifact instead of re-quantizing)

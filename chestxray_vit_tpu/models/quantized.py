@@ -92,6 +92,33 @@ def _encoder_scan(x: jax.Array, blocks: Params, cfg: ModelConfig, proj,
     return jax.lax.scan(body, x, blocks)
 
 
+def embed_tokens(params: Params, images: jax.Array, cfg: ModelConfig,
+                 quantized: bool) -> jax.Array:
+    """Patchify → (dense | int8) patch embed → CLS concat → pos embed:
+    the shared entry stage of the quantized and token-merging forwards
+    (one copy of the math, like :func:`_encoder_scan` for the blocks)."""
+    compute_dtype = jnp.dtype(cfg.dtype)
+    patches = vit.patchify(images.astype(jnp.float32), cfg.patch_size)
+    pe = params["patch_embed"]
+    if quantized:
+        if "xs" in pe:
+            x = int8_matmul_static(patches, pe["qw"], pe["xs"], pe["bias"],
+                                   out_dtype=compute_dtype)
+        else:
+            x = int8_matmul(patches, pe["qw"], pe["bias"],
+                            out_dtype=compute_dtype)
+    else:
+        x = (patches.astype(compute_dtype)
+             @ pe["kernel"].astype(compute_dtype)
+             + pe["bias"].astype(compute_dtype))
+    b = x.shape[0]
+    cls = jnp.broadcast_to(params["cls_token"].astype(compute_dtype),
+                           (b, 1, cfg.hidden_size))
+    x = jnp.concatenate([cls, x], axis=1)
+    return (x + params["pos_embed"].astype(compute_dtype)
+            ).astype(compute_dtype)
+
+
 def calibrate_vit_scales(params: Params, images: jax.Array,
                          cfg: ModelConfig, margin: float = 1.0) -> Params:
     """Observe activation amax at every quantized matmul input.
@@ -224,19 +251,7 @@ def apply_quantized(qparams: Params, images: jax.Array,
     if backend != "xla":
         raise ValueError(f"unknown quantized backend {backend!r}")
 
-    patches = vit.patchify(images.astype(jnp.float32), cfg.patch_size)
-    pe = qparams["patch_embed"]
-    if static:
-        x = int8_matmul_static(patches, pe["qw"], pe["xs"], pe["bias"],
-                               out_dtype=compute_dtype)
-    else:
-        x = int8_matmul(patches, pe["qw"], pe["bias"],
-                        out_dtype=compute_dtype)
-    b = x.shape[0]
-    cls = jnp.broadcast_to(qparams["cls_token"].astype(compute_dtype),
-                           (b, 1, cfg.hidden_size))
-    x = jnp.concatenate([cls, x], axis=1)
-    x = x + qparams["pos_embed"].astype(compute_dtype)
+    x = embed_tokens(qparams, images, cfg, quantized=True)
 
     def int8_proj(y, bp, key):
         act = bp.get("act")
@@ -248,13 +263,7 @@ def apply_quantized(qparams: Params, images: jax.Array,
                            out_dtype=compute_dtype)
 
     x, _ = _encoder_scan(x, qparams["blocks"], cfg, int8_proj)
-
-    fl = qparams["final_ln"]
-    x = vit.layer_norm(x, fl["scale"], fl["bias"], cfg.layernorm_eps)
-    head = qparams["head"]
-    return (jnp.dot(x[:, 0, :].astype(jnp.float32),
-                    head["kernel"].astype(jnp.float32))
-            + head["bias"].astype(jnp.float32))
+    return vit.head_logits(qparams, x, cfg)
 
 
 def _apply_static_pallas(qparams: Params, images: jax.Array,
@@ -318,27 +327,48 @@ def _apply_static_pallas(qparams: Params, images: jax.Array,
         return x, None
 
     x, _ = jax.lax.scan(body, x, qparams["blocks"])
-
-    fl = qparams["final_ln"]
-    x = vit.layer_norm(x, fl["scale"], fl["bias"], cfg.layernorm_eps)
-    head = qparams["head"]
-    return (jnp.dot(x[:, 0, :].astype(jnp.float32),
-                    head["kernel"].astype(jnp.float32))
-            + head["bias"].astype(jnp.float32))
+    return vit.head_logits(qparams, x, cfg)
 
 
 # ---------------------------------------------------------------------------
 # int8 artifact: save the quantized tree once, serve without recalibrating
 # ---------------------------------------------------------------------------
 
-def save_quantized(directory: str, qparams: Params) -> str:
+def model_fingerprint(params: Params) -> str:
+    """Cheap content fingerprint of a trained tree, stored with the int8
+    artifact so ``from_model_dir`` detects a retrain into the same
+    directory. Hashes a small deterministic weight subset (head +
+    final-LN + patch-embed bias — any fine-tune changes these) rather
+    than all 344 MB: a full-tree device→host pull costs ~25 s on a
+    tunneled link, defeating the cold-start win the artifact exists for.
+    """
+    import hashlib
+
+    import numpy as _np
+
+    h = hashlib.blake2b(digest_size=16)
+    for path in (("head", "kernel"), ("head", "bias"),
+                 ("final_ln", "scale"), ("patch_embed", "bias")):
+        leaf = params
+        for k in path:
+            leaf = leaf[k]
+        arr = _np.asarray(jax.device_get(leaf)).astype(_np.float32)
+        h.update(str(arr.shape).encode())
+        h.update(arr.tobytes())
+    return h.hexdigest()
+
+
+def save_quantized(directory: str, qparams: Params,
+                   fingerprint: Optional[str] = None) -> str:
     """Persist a ``quantize_vit_params`` tree as an npz artifact.
 
     ~4× smaller than the f32 weights and, for the static mode, carries
     the calibrated activation scales — so serving cold-starts skip both
     the quantize pass and the calibration forward. Written next to the
     saved model by ``cli quantize`` / ``Predictor.save_quantized``;
-    ``Predictor.from_model_dir(quantize=...)`` auto-loads it.
+    ``Predictor.from_model_dir(quantize=...)`` auto-loads it when the
+    ``fingerprint`` (see :func:`model_fingerprint`) still matches the
+    f32 weights.
     """
     import json as _json
     import os as _os
@@ -352,8 +382,11 @@ def save_quantized(directory: str, qparams: Params) -> str:
               for path, leaf in flat}
     _np.savez(_os.path.join(directory, "qparams.npz"), **arrays)
     mode = "static" if "act" in qparams["blocks"] else "dynamic"
+    meta = {"format": 1, "mode": mode}
+    if fingerprint:
+        meta["fingerprint"] = fingerprint
     with open(_os.path.join(directory, "quantized.json"), "w") as f:
-        _json.dump({"format": 1, "mode": mode}, f)
+        _json.dump(meta, f)
     return directory
 
 
@@ -374,11 +407,14 @@ def load_quantized(directory: str, cfg: ModelConfig) -> Params:
         raise ValueError(f"unknown quantized artifact format {meta!r}")
     data = _np.load(_os.path.join(directory, "qparams.npz"))
 
-    # template with the right structure (values discarded); static trees
-    # additionally carry the act-scale leaves
-    template = quantize_vit_params(
-        vit.init_params(jax.random.key(0), cfg),
-        _dummy_scales(cfg) if meta["mode"] == "static" else None)
+    # template with the right STRUCTURE only — eval_shape gives shapes/
+    # dtypes with zero array compute (materializing + quantizing a random
+    # ViT here would waste the cold-start time the artifact saves);
+    # static trees additionally carry the act-scale leaves
+    template = jax.eval_shape(
+        lambda: quantize_vit_params(
+            vit.init_params(jax.random.key(0), cfg),
+            _dummy_scales(cfg) if meta["mode"] == "static" else None))
     flat, treedef = jax.tree_util.tree_flatten_with_path(template)
     leaves = []
     for path, tmpl in flat:

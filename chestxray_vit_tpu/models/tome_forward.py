@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from chestxray_vit_tpu.config import ModelConfig
 from chestxray_vit_tpu.models import vit
-from chestxray_vit_tpu.models.quantized import _SITE_OF
+from chestxray_vit_tpu.models.quantized import _SITE_OF, embed_tokens
 from chestxray_vit_tpu.ops.gelu import gelu as _gelu
 from chestxray_vit_tpu.ops.quant import int8_matmul, int8_matmul_static
 from chestxray_vit_tpu.ops.tome import tome_merge
@@ -63,26 +63,7 @@ def apply_tome(params: Params, images: jax.Array, cfg: ModelConfig,
         return int8_matmul(y, bp[key]["qw"], bp[key]["bias"],
                            out_dtype=compute_dtype)
 
-    # --- patch embed + CLS + pos embed (same math as the scan paths) ---
-    patches = vit.patchify(images.astype(jnp.float32), cfg.patch_size)
-    pe = params["patch_embed"]
-    if quantized:
-        if "xs" in pe:
-            x = int8_matmul_static(patches, pe["qw"], pe["xs"], pe["bias"],
-                                   out_dtype=compute_dtype)
-        else:
-            x = int8_matmul(patches, pe["qw"], pe["bias"],
-                            out_dtype=compute_dtype)
-    else:
-        x = (patches.astype(compute_dtype)
-             @ pe["kernel"].astype(compute_dtype)
-             + pe["bias"].astype(compute_dtype))
-    b = x.shape[0]
-    cls = jnp.broadcast_to(params["cls_token"].astype(compute_dtype),
-                           (b, 1, cfg.hidden_size))
-    x = jnp.concatenate([cls, x], axis=1)
-    x = (x + params["pos_embed"].astype(compute_dtype)
-         ).astype(compute_dtype)
+    x = embed_tokens(params, images, cfg, quantized=quantized)
 
     sizes = jnp.ones(x.shape[:2], jnp.float32)
     blocks = params["blocks"]
@@ -116,9 +97,4 @@ def apply_tome(params: Params, images: jax.Array, cfg: ModelConfig,
                     approximate=cfg.gelu_approximate)
         x = x + proj(mid, bp, "mlp_out")
 
-    fl = params["final_ln"]
-    x = vit.layer_norm(x, fl["scale"], fl["bias"], cfg.layernorm_eps)
-    head = params["head"]
-    return (jnp.dot(x[:, 0, :].astype(jnp.float32),
-                    head["kernel"].astype(jnp.float32))
-            + head["bias"].astype(jnp.float32))
+    return vit.head_logits(params, x, cfg)

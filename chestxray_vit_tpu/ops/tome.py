@@ -147,7 +147,10 @@ def _route_merge(x: jax.Array, sizes: jax.Array, apos: jax.Array, r: int
     xw = (x.astype(jnp.float32) * sz[..., None]).astype(mm_dtype)
     num = jnp.einsum("bjs,bjd->bsd", route, xw,
                      preferred_element_type=jnp.float32)
-    den = jnp.einsum("bjs,bj->bs", route, sz.astype(mm_dtype),
-                     preferred_element_type=jnp.float32)
+    # sizes stay exact f32: a [B, S]→[B, S'] scatter-add is tiny (no D
+    # axis), and bf16 would round integer counts above 256 — skewing
+    # the weighted means and breaking exact size conservation
+    bidx = jnp.arange(b)[:, None]
+    den = jnp.zeros((b, so), jnp.float32).at[bidx, out_slot].add(sz)
     out = (num / den[..., None]).astype(x.dtype)
     return out, den

@@ -237,12 +237,29 @@ class Predictor:
                                                     "quantized.json")):
             import json as _json
 
-            from chestxray_vit_tpu.models.quantized import load_quantized
+            from chestxray_vit_tpu.models.quantized import (
+                load_quantized,
+                model_fingerprint,
+            )
             with open(os.path.join(qdir, "quantized.json")) as f:
-                saved_mode = _json.load(f).get("mode")
+                meta = _json.load(f)
+            saved_mode = meta.get("mode")
             want = "dynamic" if quantize is True else quantize
-            if saved_mode == want:
+            if saved_mode != want:
+                print(f"[predictor] quantized/ artifact is "
+                      f"{saved_mode!r} but {want!r} was requested — "
+                      f"re-quantizing from the f32 weights (run "
+                      f"`cli quantize --mode {want}` to persist)")
+            elif (meta.get("fingerprint")
+                  and meta["fingerprint"] != model_fingerprint(params)):
+                print("[predictor] quantized/ artifact was built from "
+                      "DIFFERENT weights (model retrained since "
+                      "`cli quantize`?) — re-quantizing from the "
+                      "current f32 weights")
+            else:
                 qparams = load_quantized(qdir, cfg.model)
+                print(f"[predictor] loaded int8 artifact ({saved_mode}) "
+                      f"from {qdir}")
         return cls(params, cfg.model, classes, batch_size,
                    placement=placement, quantize=quantize,
                    data_parallel=data_parallel, qparams=qparams,
@@ -254,8 +271,12 @@ class Predictor:
         ``from_model_dir`` auto-loads it on the next start."""
         if not self.quantize:
             raise ValueError("Predictor was built without quantize=")
-        from chestxray_vit_tpu.models.quantized import save_quantized
-        return save_quantized(directory, self._qparams)
+        from chestxray_vit_tpu.models.quantized import (
+            model_fingerprint,
+            save_quantized,
+        )
+        return save_quantized(directory, self._qparams,
+                              fingerprint=model_fingerprint(self.params))
 
     # ------------------------------------------------------------------
 

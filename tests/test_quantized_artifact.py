@@ -110,6 +110,18 @@ def test_cli_quantize_and_predictor_autoload(tmp_path):
     probs2 = pred2.predict_bytes([png]).probs[0]
     assert not np.all(probs2 > 0.9)
 
+    # a retrain invalidates the artifact: break the stored fingerprint
+    # and the (poisoned) artifact must be IGNORED — fresh re-quantize
+    meta_path = os.path.join(qdir, "quantized.json")
+    meta = json.load(open(meta_path))
+    assert meta.get("fingerprint")            # cli quantize stored one
+    meta["fingerprint"] = "0" * 32
+    json.dump(meta, open(meta_path, "w"))
+    pred3 = Predictor.from_model_dir(model_dir, batch_size=2,
+                                     quantize="static")
+    probs3 = pred3.predict_bytes([png]).probs[0]
+    assert not np.all(probs3 > 0.9)
+
 
 def test_prebuilt_mode_mismatch_raises():
     from chestxray_vit_tpu.serve.inference import Predictor

@@ -156,3 +156,10 @@ def test_bf16_merge_tracks_f32():
     np.testing.assert_allclose(np.float32(out_x), np.asarray(ref_x),
                                atol=0.05)
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref_s))
+    # sizes stay exact f32 even in the bf16 path (counts > 256 would
+    # round in bf16)
+    big = np.full((b, s), 300.0, np.float32)
+    _, big_s = tome_merge(jnp.asarray(x, jnp.bfloat16),
+                          jnp.asarray(metric, jnp.bfloat16),
+                          jnp.asarray(big), r)
+    assert float(np.asarray(big_s).sum()) == 300.0 * s * b
