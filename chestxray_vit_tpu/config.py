@@ -307,6 +307,12 @@ class TrainConfig:
     # set it for post-training `cli eval`/`predict` runs unless you want
     # that. AUROC agrees with the bf16 eval to ~1e-3 (tested).
     eval_quantize: Optional[str] = None     # None | 'static' | 'dynamic'
+    # Token merging for eval/predict forwards (beyond the reference;
+    # `models/tome_forward.py`): merge the r most-similar token pairs
+    # per layer. Same tradeoff as serving's `tome_r` — throughput is
+    # ~linear in merged tokens, fidelity is yours to validate (the eval
+    # metrics ARE the merged model's). Composes with eval_quantize.
+    eval_tome_r: int = 0
     seed: int = 42
     output_dir: str = "./outputs"
     report_to: str = "tensorboard"          # B (pyc L453); A: 'none'

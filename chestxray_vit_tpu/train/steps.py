@@ -304,27 +304,39 @@ def jit_train_step(train_step, mesh: Mesh, state: TrainState):
     )
 
 
-def make_quantized_eval_step(cfg: Config
+def make_inference_eval_step(cfg: Config, quantized: bool = False,
+                             tome_r: int = 0
                              ) -> Callable[[Params, Dict[str, jax.Array]],
                                            Tuple[jax.Array, jax.Array]]:
-    """`make_eval_step` on the int8 serving forward (models/quantized.py).
-
-    Same (logits, per-row BCE element sums) contract; ``params`` is the
-    quantized tree from ``quantize_vit_params``. Beyond the reference —
-    the measured +28% eval/predict throughput path (BENCH_NOTES "Round 3:
-    int8")."""
+    """`make_eval_step` on the serving-accelerated forwards (beyond the
+    reference): int8 (`models/quantized.py`, measured +27% at the step
+    level — BENCH_NOTES "int8 batch evaluation") and/or token merging
+    (`models/tome_forward.py`). Same (logits, per-row BCE element sums)
+    contract; ``params`` is the quantized tree when ``quantized``."""
     from chestxray_vit_tpu.models.quantized import apply_quantized
 
-    def eval_step(qparams: Params, batch: Dict[str, jax.Array]
+    def eval_step(params: Params, batch: Dict[str, jax.Array]
                   ) -> Tuple[jax.Array, jax.Array]:
         images = prepare_pixel_values(
             batch, out_size=cfg.model.img_size,
             mean=cfg.data.image_mean, std=cfg.data.image_std)
-        logits = apply_quantized(qparams, images, cfg.model)
+        if tome_r:
+            from chestxray_vit_tpu.models.tome_forward import apply_tome
+            logits = apply_tome(params, images, cfg.model, tome_r,
+                                quantized=quantized)
+        elif quantized:
+            logits = apply_quantized(params, images, cfg.model)
+        else:
+            logits = vit.apply(params, images, cfg.model, train=False)
         return logits, jnp.sum(bce_elements(logits, batch["labels"]),
                                axis=-1)
 
     return eval_step
+
+
+def make_quantized_eval_step(cfg: Config):
+    """Back-compat alias: the int8 eval step."""
+    return make_inference_eval_step(cfg, quantized=True)
 
 
 def jit_quantized_eval_step(eval_step, mesh: Mesh):

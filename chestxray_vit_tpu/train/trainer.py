@@ -142,28 +142,36 @@ class Trainer:
             raise ValueError(
                 f"train.eval_quantize must be None|'static'|'dynamic', got "
                 f"{self.cfg.train.eval_quantize!r}")
+        if self.cfg.train.eval_tome_r < 0:
+            raise ValueError(
+                f"train.eval_tome_r must be >= 0, got "
+                f"{self.cfg.train.eval_tome_r}")
 
-    def _quantized_eval(self, placed):
-        """Lazily build the int8 eval path from the CURRENT params
-        (beyond the reference — the measured +28% serving-forward win,
-        BENCH_NOTES 'Round 3: int8'). For 'static', per-site activation
-        scales are calibrated on ``placed`` — the first batch of the
-        split being evaluated; int8 weights are requantized per
-        evaluate()/predict() call so mid-training evals track the live
-        params."""
+    def _inference_eval(self, placed):
+        """Lazily build the accelerated eval path from the CURRENT params
+        (beyond the reference): int8 (`eval_quantize` — measured +27%
+        at the step level, BENCH_NOTES) and/or token merging
+        (`eval_tome_r`). For 'static', per-site activation scales are
+        calibrated on ``placed`` — the first batch of the split being
+        evaluated; int8 weights are requantized per evaluate()/predict()
+        call so mid-training evals track the live params."""
         from chestxray_vit_tpu.models.quantized import (
             calibrate_vit_scales,
             quantize_vit_params,
         )
         from chestxray_vit_tpu.ops.preprocess import prepare_pixel_values
 
-        if not hasattr(self, "_quant_eval_fns"):
-            # built ONCE: the jitted programs don't depend on the per-call
-            # scales (they ride inside qparams / as traced args), so
-            # rebuilding closures per evaluate() would only defeat jit's
-            # identity cache and re-trace every cadence eval
+        quantize = self.cfg.train.eval_quantize
+        key = (bool(quantize), self.cfg.train.eval_tome_r)
+        if getattr(self, "_inference_eval_key", None) != key:
+            # built ONCE per knob setting: the jitted programs don't
+            # depend on the per-call scales (they ride inside qparams /
+            # as traced args), so rebuilding closures per evaluate()
+            # would only defeat jit's identity cache and re-trace every
+            # cadence eval
             cfg = self.cfg
-            self._quant_eval_fns = {
+            self._inference_eval_key = key
+            self._inference_eval_fns = {
                 "prepare": jax.jit(lambda b: prepare_pixel_values(
                     b, out_size=cfg.model.img_size,
                     mean=cfg.data.image_mean, std=cfg.data.image_std)),
@@ -171,11 +179,15 @@ class Trainer:
                     quantize_vit_params,
                     out_shardings=S.replicated(self.mesh)),
                 "step": S.jit_quantized_eval_step(
-                    S.make_quantized_eval_step(cfg), self.mesh),
+                    S.make_inference_eval_step(
+                        cfg, quantized=bool(quantize),
+                        tome_r=cfg.train.eval_tome_r), self.mesh),
             }
-        fns = self._quant_eval_fns
+        fns = self._inference_eval_fns
+        if not quantize:
+            return self.state.params, fns["step"]
         scales = None
-        if self.cfg.train.eval_quantize == "static":
+        if quantize == "static":
             scales = calibrate_vit_scales(
                 self.state.params, fns["prepare"](placed), self.cfg.model)
         qparams = fns["quantize"](self.state.params, scales)
@@ -468,8 +480,9 @@ class Trainer:
                 host_range=dist.host_batch_slice(self.eval_batch)):
             n_valid = int(batch.pop("num_valid"))     # global valid count
             placed = dist.form_global_batch(self.mesh, batch)
-            if self.cfg.train.eval_quantize and qstep is None:
-                qparams, qstep = self._quantized_eval(placed)
+            if qstep is None and (self.cfg.train.eval_quantize
+                                  or self.cfg.train.eval_tome_r):
+                qparams, qstep = self._inference_eval(placed)
             # ONE compiled program per batch: logits + per-row BCE element
             # sums ride the same dispatch (the loss used to re-stage
             # gathered host logits through a second jitted call — double

@@ -64,3 +64,28 @@ def test_bad_mode_rejected(tmp_path, fake):
     cfg = _cfg(tmp_path, eval_quantize="int4")
     with pytest.raises(ValueError, match="eval_quantize"):
         Trainer(cfg, store=fake.store, pretrained=False)
+    cfg2 = _cfg(tmp_path, eval_tome_r=-1)
+    with pytest.raises(ValueError, match="eval_tome_r"):
+        Trainer(cfg2, store=fake.store, pretrained=False)
+
+
+@pytest.mark.parametrize("quantize", [None, "static"])
+def test_eval_tome_tracks_full_eval(tmp_path, fake, quantize):
+    """eval_tome_r runs evaluate()/predict() on the merged-token forward
+    (optionally int8): logits track the full bf16 eval at small r."""
+    cfg = _cfg(tmp_path)
+    tr = Trainer(cfg, store=fake.store, pretrained=False)
+    tr.train()
+    base_logits, _, base_loss = tr._forward_all(tr.bundle.val)
+
+    cfg.train.eval_quantize = quantize
+    cfg.train.eval_tome_r = 1
+    t_logits, _, t_loss = tr._forward_all(tr.bundle.val)
+    assert t_logits.shape == base_logits.shape
+    corr = np.corrcoef(base_logits.ravel(), t_logits.ravel())[0, 1]
+    assert corr > 0.95, corr
+    assert np.isfinite(t_loss)
+    ev = tr.evaluate()
+    assert np.isfinite(ev["eval_loss"]) and 0.0 <= ev["avg_auroc"] <= 1.0
+    cfg.train.eval_quantize = None
+    cfg.train.eval_tome_r = 0
