@@ -50,8 +50,9 @@ def _packed_mha(x, bp, cfg: ModelConfig, seg_ids, dropout_rng=None,
     q, k, v = heads(bp["wq"]), heads(bp["wk"]), heads(bp["wv"])
     attn_drop = (train and cfg.attention_dropout > 0.0
                  and dropout_rng is not None)
-    use_pallas = cfg.attention_impl == "pallas" or (
-        cfg.attention_impl == "auto" and jax.default_backend() == "tpu")
+    from chestxray_vit_tpu.ops.flash_attention import (
+        use_pallas as _use_pallas)
+    use_pallas = _use_pallas(cfg.attention_impl)
     # 384-row Q blocks when they tile the padded sequence (the 1152-token
     # packed config): fewer dK/dV accumulation revisits, measured faster
     # than 128-row blocks on the dense 1025-token path (BENCH_NOTES.md)

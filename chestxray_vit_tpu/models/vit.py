@@ -164,8 +164,9 @@ def _mha(x: jax.Array, bp: Params, cfg: ModelConfig,
     probs = None
     attn_drop = (train and cfg.attention_dropout > 0.0
                  and dropout_rng is not None)
-    use_pallas = attn_impl == "pallas" or (
-        attn_impl == "auto" and jax.default_backend() == "tpu")
+    from chestxray_vit_tpu.ops.flash_attention import (
+        use_pallas as _use_pallas)
+    use_pallas = _use_pallas(attn_impl)
     if attn_drop and use_pallas and not return_probs:
         from chestxray_vit_tpu.ops.flash_attention import (
             flash_attention_dropout)

@@ -62,6 +62,14 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def use_pallas(impl: str) -> bool:
+    """THE dispatch predicate ('pallas' forced, 'auto' = on TPU) — shared
+    by the dense, packed, and dropout attention paths so a policy change
+    lands once."""
+    return impl == "pallas" or (impl == "auto"
+                                and jax.default_backend() == "tpu")
+
+
 def _pad_len(s: int, block: int) -> int:
     return ((s + block - 1) // block) * block
 
@@ -1179,7 +1187,7 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array,
     ``inference=True`` uses the forward-only kernel (no lse residual) on
     the eval/serving path.
     """
-    if impl == "pallas" or (impl == "auto" and jax.default_backend() == "tpu"):
+    if use_pallas(impl):
         if block_q == 0:
             block_q = auto_block_q(q.shape[2])
         if inference:

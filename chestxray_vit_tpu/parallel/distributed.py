@@ -55,8 +55,8 @@ def initialize(coordinator_address: Optional[str] = None,
         from jax._src.distributed import global_state
         if global_state.client is not None:
             return
-    except ImportError:
-        pass                       # older/newer layout: rely on the raise
+    except (ImportError, AttributeError):
+        pass       # private layout moved/renamed: rely on the raise below
     try:
         kwargs = {}
         if coordinator_address:

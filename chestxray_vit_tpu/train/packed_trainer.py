@@ -156,6 +156,20 @@ class PackedTrainer(Trainer):
                         f"or restore the original topology)")
                 local_skip = int(rc.per_host[rank])
         else:
+            rc = getattr(self, "_restored_cursor", None)
+            if (skip and rc is not None and rc.per_host is not None
+                    and len(rc.per_host) != 1):
+                # a multi-host packed checkpoint consumed interleaved
+                # shards (order[rank::H]); a single-host resume's prefix
+                # skip of the UNSHARDED order would train some images
+                # twice and never see others — same guard as the
+                # hosts>1 topology check above
+                raise ValueError(
+                    f"checkpoint cursor was written by "
+                    f"{len(rc.per_host)} hosts but this run has 1; "
+                    f"mid-epoch packed resume cannot change the host "
+                    f"count (resume from an epoch boundary or restore "
+                    f"the original topology)")
             local_skip = skip
         # cumulative image counts are appended at PRODUCE time (this
         # generator runs inside DevicePrefetcher's background thread, up to
@@ -251,6 +265,14 @@ class PackedTrainer(Trainer):
         if self._hosts == 1:
             return self.state.params
 
+        # cache per training step: cadence evals call evaluate() then
+        # predict() (or eval both splits) on the SAME params — without
+        # this, every call re-round-trips the full tree host↔device
+        step = int(self.state.step)
+        cached = getattr(self, "_eval_params_cache", None)
+        if cached is not None and cached[0] == step:
+            return cached[1]
+
         def local(x):
             if getattr(x, "is_fully_replicated", True):
                 return jax.device_put(np.asarray(x.addressable_data(0)),
@@ -259,7 +281,9 @@ class PackedTrainer(Trainer):
                 "multi-host packed eval needs fully-replicated params "
                 "(data-parallel mesh); fsdp/tensor-sharded packed eval "
                 "is not supported")
-        return jax.tree.map(local, self.state.params)
+        tree = jax.tree.map(local, self.state.params)
+        self._eval_params_cache = (step, tree)
+        return tree
 
     def _forward_all(self, index):
         """Packed eval: logits per image via masked mean pooling. Every

@@ -561,10 +561,16 @@ class Trainer:
         """``trainer.save_state()`` parity (pyc L485): write
         ``trainer_state.json`` — global step, epoch, best metric/step, and
         the log history replayed from metrics.jsonl — in HF's shape, so
-        downstream tooling that reads Trainer state keeps working."""
+        downstream tooling that reads Trainer state keeps working.
+
+        Primary-rank only on multi-host runs (HF writes one state file):
+        non-primary ranks log to metrics.rank{N}.jsonl, and concurrent
+        writes to the shared trainer_state.json could interleave."""
         import json
         out_dir = os.path.expanduser(self.cfg.train.output_dir)
         path = path or os.path.join(out_dir, "trainer_state.json")
+        if not dist.is_primary():
+            return path
         history = []
         jsonl = os.path.join(self.logger.output_dir, "metrics.jsonl")
         if os.path.exists(jsonl):

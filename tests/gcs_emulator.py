@@ -270,6 +270,15 @@ class _Handler(BaseHTTPRequestHandler):
         #  bytes 0-99/100  |  bytes */100  |  bytes 0-99/*
         m2 = re.match(r"bytes (?:(\d+)-(\d+)|\*)/(\d+|\*)", crange)
         with self.em.lock:
+            if sid not in self.em.sessions:
+                # a retried final chunk can race its duplicate: the first
+                # finalized and deleted the session while this one was
+                # reading the body — report success idempotently instead
+                # of double-finalizing/KeyError (clients retry on 5xx)
+                obj = self.em.bucket(bucket).get(name)
+                if obj is not None:
+                    return self._json(200, _obj_meta(bucket, name, obj))
+                return self._error(404, "no such upload session")
             if m2 and m2.group(1) is not None:
                 start = int(m2.group(1))
                 buf[start:start + len(data)] = data

@@ -21,7 +21,6 @@ from chestxray_vit_tpu.config import Config, DataConfig, ModelConfig, TrainConfi
 from chestxray_vit_tpu.data.testing import build_fake_nih
 from chestxray_vit_tpu.train.trainer import Trainer
 
-GOLDEN_LOSSES = None   # filled below from golden_run.json
 GOLDEN = {}
 
 try:

@@ -224,3 +224,21 @@ def test_epoch_boundary_save_after_resume_writes_zero_cursor(tmp_path):
     assert cursor.epoch == 1
     assert cursor.batch_in_epoch == 0
     tr.close()
+
+
+def test_single_host_resume_of_multihost_cursor_rejected(tmp_path,
+                                                         fake_varres):
+    """A multi-host packed checkpoint consumed interleaved shards; a
+    single-host prefix skip of the unsharded order would train some
+    images twice and never see others — must raise, mirroring the
+    hosts>1 topology guard."""
+    from chestxray_vit_tpu.train.checkpoint import DataCursor
+    tr = PackedTrainer(_cfg(tmp_path), seq_len=48, grids=GRIDS,
+                       batch_seqs=8, store=fake_varres.store,
+                       pretrained=False)
+    tr._restored_cursor = DataCursor(epoch=0, batch_in_epoch=5, per_host=[3, 2])
+    with pytest.raises(ValueError, match="host count"):
+        next(tr._train_batches(0, skip=5))
+    # a 1-host cursor (or none) resumes normally
+    tr._restored_cursor = DataCursor(epoch=0, batch_in_epoch=5, per_host=[5])
+    next(tr._train_batches(0, skip=5))
