@@ -15,15 +15,91 @@ torch-xla's lazy-tensor + HF-Trainer loop it stands in for); the older
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+# The TPU on this machine is reached through a tunneled PJRT plugin that
+# can wedge for hours (dispatch hangs; even ``jax.devices()`` may hang —
+# CLAUDE.md "Platform gotchas"). The benchmark therefore runs in two
+# layers: a supervisor (default entry) that probes chip liveness in a
+# SUBPROCESS with a hard timeout and retries within a bounded window, and
+# the actual benchmark (``--run``), also executed as a timed subprocess so
+# a mid-run wedge cannot hang the driver. The supervisor re-prints the
+# child's single JSON line; on an exhausted window it exits non-zero with
+# a clear "tunnel down" message instead of crashing with a raw traceback
+# (round-3 failure mode: BENCH_r03.json rc=1).
+_PROBE_SRC = (
+    "import os, jax, jax.numpy as jnp;"
+    # the machine's PJRT site hook overrides JAX_PLATFORMS via
+    # jax.config at interpreter start — re-assert the env var so
+    # CPU-platform runs of the bench actually stay on CPU
+    "p = os.environ.get('JAX_PLATFORMS');"
+    "p and jax.config.update('jax_platforms', p);"
+    "x = jnp.ones((256, 256));"
+    "print('ALIVE', float((x @ x)[0, 0]))"
+)
+_PROBE_TIMEOUT_S = 150       # backend init + tiny compile, generous
+_RUN_TIMEOUT_S = 2400        # cold compile is ~3 min; wedges hang forever
+_RETRY_WINDOW_S = float(os.environ.get("CXR_BENCH_RETRY_S", 900))
+_RETRY_SLEEP_S = 60
+
+
+def _probe_alive() -> bool:
+    try:
+        r = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                           capture_output=True, text=True,
+                           timeout=_PROBE_TIMEOUT_S)
+        return r.returncode == 0 and "ALIVE" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def supervise(argv: list) -> int:
+    deadline = time.monotonic() + _RETRY_WINDOW_S
+    attempt = 0
+    while True:
+        attempt += 1
+        if _probe_alive():
+            cmd = [sys.executable, os.path.abspath(__file__), "--run"] + argv
+            try:
+                r = subprocess.run(cmd, stdout=subprocess.PIPE, text=True,
+                                   timeout=_RUN_TIMEOUT_S)
+            except subprocess.TimeoutExpired:
+                print(f"bench: run timed out after {_RUN_TIMEOUT_S}s "
+                      "(tunnel wedged mid-run)", file=sys.stderr)
+                r = None
+            if r is not None and r.returncode == 0:
+                # Contract: exactly one JSON line on stdout.
+                for line in r.stdout.splitlines():
+                    if line.startswith("{"):
+                        print(line)
+                        return 0
+                print("bench: child produced no JSON line", file=sys.stderr)
+            elif r is not None:
+                print(f"bench: run failed rc={r.returncode}",
+                      file=sys.stderr)
+        else:
+            print(f"bench: liveness probe {attempt} failed "
+                  "(tiny matmul did not complete)", file=sys.stderr)
+        if time.monotonic() >= deadline:
+            print("bench: TPU tunnel down — liveness probe / run failed for "
+                  f"{_RETRY_WINDOW_S:.0f}s. This is the documented tunnel "
+                  "wedge (CLAUDE.md 'Platform gotchas'), not a framework "
+                  "error. Re-run when the tunnel recovers.", file=sys.stderr)
+            return 2
+        time.sleep(_RETRY_SLEEP_S)
+
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # see _PROBE_SRC: the site hook overrides the env var
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     from chestxray_vit_tpu.config import Config, ModelConfig, TrainConfig
     from chestxray_vit_tpu.models import vit
@@ -36,7 +112,8 @@ def main() -> None:
         os.path.abspath(__file__)), ".xla_cache"))
 
     n_chips = len(jax.devices())
-    batch_per_chip = int(sys.argv[1]) if len(sys.argv) > 1 else 36
+    args = [a for a in sys.argv[1:] if a != "--run"]
+    batch_per_chip = int(args[0]) if args else 36
     # batch 36/chip with scan rematerialization + the round-2 Pallas flash
     # kernels is the measured sweet spot on v5e (swept 8..64: 36 -> 233
     # img/s vs 222 at 64 — see BENCH_NOTES.md).
@@ -103,4 +180,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--run" in sys.argv[1:]:
+        main()
+    else:
+        sys.exit(supervise(sys.argv[1:]))

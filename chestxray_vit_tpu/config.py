@@ -173,6 +173,15 @@ class ModelConfig:
     # (weights stacked once per step outside the scan; numerics identical).
     # Opt-in pending measurement — see BENCH_NOTES.md.
     fused_qkv: bool = False
+    # Token merging DURING training (and in the matching train-time eval):
+    # merge the r most-similar token pairs after every layer's attention
+    # (ToMe, arXiv:2210.09461 — a training accelerator in the paper, §4.2).
+    # The routing-matmul merge (ops/tome.py) is differentiable by
+    # construction, so gradients flow through the size-weighted means;
+    # the bipartite matching itself is piecewise-constant (no gradient),
+    # exactly like the paper's formulation. 0 = off (the reference's
+    # semantics). Quality/speed tradeoff knob — see BENCH_NOTES.md.
+    tome_r: int = 0
 
     @property
     def num_patches(self) -> int:

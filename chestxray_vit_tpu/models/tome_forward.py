@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 from chestxray_vit_tpu.config import ModelConfig
@@ -32,6 +33,70 @@ from chestxray_vit_tpu.ops.quant import int8_matmul, int8_matmul_static
 from chestxray_vit_tpu.ops.tome import tome_merge
 
 Params = Dict[str, Any]
+
+
+def apply_tome_train(params: Params, images: jax.Array, cfg: ModelConfig,
+                     r: int, *, train: bool = True,
+                     rng: Optional[jax.Array] = None) -> jax.Array:
+    """Differentiable token-merging forward for TRAINING (model.tome_r).
+
+    The train-step counterpart of :func:`apply_tome`: dense bf16 weights,
+    dropout, and gradient checkpointing — dispatched from ``vit.apply``
+    when ``cfg.tome_r > 0`` so the whole Trainer stack (accumulation,
+    mixup, eval, golden runs) composes unchanged. Gradients flow through
+    the size-weighted merge means (the routing matmul + scatter-add in
+    ``ops/tome.py`` are plain differentiable XLA ops); the bipartite
+    matching (top_k/argmax) is piecewise-constant with zero gradient,
+    exactly the ToMe paper's training formulation (arXiv:2210.09461 §4.2
+    trains with merging on).
+
+    Token counts shrink per layer → per-layer shapes → a python-unrolled
+    loop with per-block ``jax.checkpoint`` instead of the scan (same remat
+    policies as ``vit.apply``; 12 compiled block instances).
+    """
+    if r <= 0:
+        raise ValueError(f"tome r={r} must be positive")
+    if cfg.fused_qkv:
+        raise ValueError("model.fused_qkv does not compose with tome_r "
+                         "(and measured slower anyway — BENCH_NOTES.md)")
+    compute_dtype = jnp.dtype(cfg.dtype)
+    x = vit.embed(params, images, cfg, compute_dtype)
+    sizes = jnp.ones(x.shape[:2], jnp.float32)
+    key = rng
+
+    def block(x, sizes, bp, sub):
+        a_in = vit.layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"],
+                              cfg.layernorm_eps)
+        attn_out, _, kmean = vit._mha(
+            a_in, bp, cfg, cfg.attention_impl, dropout_rng=sub,
+            train=train, return_key_mean=True)
+        attn_out = vit._dropout(attn_out, cfg.hidden_dropout, sub, train, 0)
+        x = x + attn_out
+        # merge between attention and MLP (paper placement); r clamps per
+        # layer so deep layers with few tokens left merge less
+        r_l = min(r, (x.shape[1] + 1) // 2 - 1)
+        if r_l > 0:
+            x, sizes = tome_merge(x, kmean, sizes, r_l)
+        m_in = vit.layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
+                              cfg.layernorm_eps)
+        hmid = _gelu(m_in @ bp["mlp_in"]["kernel"] + bp["mlp_in"]["bias"],
+                     approximate=cfg.gelu_approximate)
+        hmid = jax.ad_checkpoint.checkpoint_name(hmid, "mlp_hidden")
+        mlp_out = hmid @ bp["mlp_out"]["kernel"] + bp["mlp_out"]["bias"]
+        mlp_out = vit._dropout(mlp_out, cfg.hidden_dropout, sub, train, 1)
+        return x + mlp_out, sizes
+
+    fn = block
+    if cfg.remat:
+        fn = jax.checkpoint(block, policy=vit.remat_policy(cfg),
+                            prevent_cse=False)
+
+    for bp in vit.unstack_blocks(params, cfg, compute_dtype):
+        key, sub = (jax.random.split(key) if key is not None
+                    else (None, None))
+        x, sizes = fn(x, sizes, bp, sub)
+
+    return vit.head_logits(params, x, cfg)
 
 
 def apply_tome(params: Params, images: jax.Array, cfg: ModelConfig,

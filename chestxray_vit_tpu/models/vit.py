@@ -127,7 +127,8 @@ def _dropout_seed(rng: jax.Array, salt: int) -> jax.Array:
 
 def _mha(x: jax.Array, bp: Params, cfg: ModelConfig,
          attn_impl: str, return_probs: bool = False,
-         dropout_rng: Optional[jax.Array] = None, train: bool = False):
+         dropout_rng: Optional[jax.Array] = None, train: bool = False,
+         return_key_mean: bool = False):
     """Multi-head attention, pre-LN input already applied.
 
     ``attention_dropout`` (HF ViTSelfAttention semantics: dropout on the
@@ -135,7 +136,11 @@ def _mha(x: jax.Array, bp: Params, cfg: ModelConfig,
     mask is generated inside the kernel (fwd and bwd replay the same
     counter hash), so nonzero rates compile at production batch. Off-TPU
     the unfused XLA path applies jax.random dropout to the materialized
-    probabilities (a different — equally valid — mask stream)."""
+    probabilities (a different — equally valid — mask stream).
+
+    ``return_key_mean`` additionally returns the head-mean of the keys
+    [B, S, head_dim] — the token-merging similarity metric (ToMe §3:
+    "the keys already summarize the information in each token")."""
     b, s, d = x.shape
     h, hd = cfg.num_heads, cfg.head_dim
 
@@ -189,6 +194,8 @@ def _mha(x: jax.Array, bp: Params, cfg: ModelConfig,
     out = (jnp.einsum("bhsk,hkd->bsd", o,
                       bp["wo"]["kernel"].reshape(h, hd, d))
            + bp["wo"]["bias"])
+    if return_key_mean:
+        return out, probs, k.mean(axis=1)
     return out, probs
 
 
@@ -224,6 +231,32 @@ def _dropout(x, rate, rng, train, salt):
 # Forward
 # ---------------------------------------------------------------------------
 
+def remat_policy(cfg: ModelConfig):
+    """jax.checkpoint policy for ``cfg.remat_policy`` (None = full remat)."""
+    if cfg.remat_policy == "mlp":
+        return jax.checkpoint_policies.save_anything_except_these_names(
+            "mlp_hidden")
+    if cfg.remat_policy == "attn":
+        # recompute only the attention internals (qkv heads + flash
+        # kernel residuals) — ~11% extra FLOPs vs full remat's ~33%
+        return jax.checkpoint_policies.save_anything_except_these_names(
+            "flash_residual", "attn_heads")
+    if cfg.remat_policy == "attn_mlp":
+        # also recompute the 4×-wide GELU hidden — the two biggest
+        # residual classes dropped, everything else saved
+        return jax.checkpoint_policies.save_anything_except_these_names(
+            "flash_residual", "attn_heads", "mlp_hidden")
+    if cfg.remat_policy == "flash_out":
+        # full remat EXCEPT the flash kernel outputs (~60 MB/layer at
+        # ViT-B b64): backward skips re-running the forward attention
+        # kernel — the costliest recompute in the block — while
+        # everything else stays rematerialized
+        return jax.checkpoint_policies.save_only_these_names("flash_out")
+    if cfg.remat_policy == "dots":
+        return jax.checkpoint_policies.checkpoint_dots
+    return None
+
+
 def apply(params: Params, images: jax.Array, cfg: ModelConfig, *,
           train: bool = False, rng: Optional[jax.Array] = None,
           return_features: bool = False) -> jax.Array:
@@ -237,6 +270,15 @@ def apply(params: Params, images: jax.Array, cfg: ModelConfig, *,
 
     Returns logits f32 [B, num_classes] (and features if requested).
     """
+    if getattr(cfg, "tome_r", 0) and not return_features:
+        # token-merging model (model.tome_r > 0): train AND eval run the
+        # merged forward so best-model selection/eval metrics describe the
+        # model actually being trained (ToMe trains + infers with the same
+        # r, arXiv:2210.09461 §4.2). Unrolled per-layer shapes → separate
+        # module (lazy import: tome_forward imports this module).
+        from chestxray_vit_tpu.models.tome_forward import apply_tome_train
+        return apply_tome_train(params, images, cfg, cfg.tome_r,
+                                train=train, rng=rng)
     compute_dtype = jnp.dtype(cfg.dtype)
     cast = lambda p: jax.tree.map(lambda a: a.astype(compute_dtype), p)
 
@@ -266,31 +308,8 @@ def apply(params: Params, images: jax.Array, cfg: ModelConfig, *,
 
     body = scan_body
     if cfg.remat:
-        if cfg.remat_policy == "mlp":
-            policy = jax.checkpoint_policies.save_anything_except_these_names(
-                "mlp_hidden")
-        elif cfg.remat_policy == "attn":
-            # recompute only the attention internals (qkv heads + flash
-            # kernel residuals) — ~11% extra FLOPs vs full remat's ~33%
-            policy = jax.checkpoint_policies.save_anything_except_these_names(
-                "flash_residual", "attn_heads")
-        elif cfg.remat_policy == "attn_mlp":
-            # also recompute the 4×-wide GELU hidden — the two biggest
-            # residual classes dropped, everything else saved
-            policy = jax.checkpoint_policies.save_anything_except_these_names(
-                "flash_residual", "attn_heads", "mlp_hidden")
-        elif cfg.remat_policy == "flash_out":
-            # full remat EXCEPT the flash kernel outputs (~60 MB/layer at
-            # ViT-B b64): backward skips re-running the forward attention
-            # kernel — the costliest recompute in the block — while
-            # everything else stays rematerialized
-            policy = jax.checkpoint_policies.save_only_these_names(
-                "flash_out")
-        elif cfg.remat_policy == "dots":
-            policy = jax.checkpoint_policies.checkpoint_dots
-        else:
-            policy = None
-        body = jax.checkpoint(scan_body, policy=policy, prevent_cse=False)
+        body = jax.checkpoint(scan_body, policy=remat_policy(cfg),
+                              prevent_cse=False)
     (x, _), _ = jax.lax.scan(body, (x, rng), blocks)
 
     fl = params["final_ln"]

@@ -10,6 +10,7 @@ Grad-CAM maps per request.
 from __future__ import annotations
 
 import os
+import sys
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
@@ -159,13 +160,32 @@ class Predictor:
             else:
                 scales = None
                 if qmode == "static":
-                    if calibration is None:
+                    if calibration is None or calibration == "synthetic":
+                        if calibration is None:
+                            # loud by design: static scales calibrated on
+                            # noise can silently ship in production
+                            # (ADVICE r3); pass real images, or opt in
+                            # explicitly with calibration='synthetic'
+                            print(
+                                "[predictor] WARNING: quantize='static' "
+                                "with no calibration images — activation "
+                                "scales will be calibrated on seeded "
+                                "synthetic noise. Pass calibration= real "
+                                "images (or calibration='synthetic' to "
+                                "silence), or persist real-data scales "
+                                "once with `cli quantize --calibration`.",
+                                file=sys.stderr)
                         rng = np.random.default_rng(0)
                         calibration = [rng.integers(0, 256,
                                                     (cfg.img_size,
                                                      cfg.img_size),
                                                     np.uint8)
                                        for _ in range(8)]
+                    elif not len(calibration):
+                        raise ValueError(
+                            "quantize='static' got an EMPTY calibration "
+                            "set — pass real images, or "
+                            "calibration='synthetic' explicitly")
                     staged = tuple(jnp.asarray(a)
                                    for a in self._stage(list(calibration),
                                                         0))
@@ -220,7 +240,8 @@ class Predictor:
     @classmethod
     def from_model_dir(cls, directory: str, batch_size: int = 8,
                        placement: str = "host", quantize=False,
-                       data_parallel=False, tome_r: int = 0) -> "Predictor":
+                       data_parallel=False, tome_r: int = 0,
+                       calibration=None) -> "Predictor":
         """Load a ``Trainer.save_model()`` directory. With ``quantize``
         set, a matching ``quantized/`` artifact in the directory (written
         by ``cli quantize`` / :meth:`save_quantized`) is loaded instead
@@ -263,7 +284,7 @@ class Predictor:
         return cls(params, cfg.model, classes, batch_size,
                    placement=placement, quantize=quantize,
                    data_parallel=data_parallel, qparams=qparams,
-                   tome_r=tome_r)
+                   tome_r=tome_r, calibration=calibration)
 
     def save_quantized(self, directory: str) -> str:
         """Persist this Predictor's quantized tree (int8 weights + static

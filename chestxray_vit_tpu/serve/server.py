@@ -181,7 +181,21 @@ def main(argv: Optional[list] = None) -> int:
                          "(token merging — opt-in speed/quality tradeoff; "
                          "validate fidelity on your data). Composes with "
                          "--quantize")
+    ap.add_argument("--calibration", nargs="*", default=None,
+                    help="PNG/JPEG files for --quantize static activation "
+                         "calibration; 'synthetic' opts into the seeded "
+                         "noise fallback without the warning (or persist "
+                         "real-data scales once with `cli quantize`)")
     ns = ap.parse_args(argv)
+    calibration = None
+    if ns.calibration is not None:
+        if ns.calibration == ["synthetic"]:
+            calibration = "synthetic"
+        elif not ns.calibration:
+            raise SystemExit("--calibration was given but matched no "
+                             "files — pass PNG/JPEG paths or 'synthetic'")
+        else:
+            calibration = [open(p, "rb").read() for p in ns.calibration]
     if ns.compilation_cache:
         from chestxray_vit_tpu.utils.compilation_cache import (
             enable_compilation_cache)
@@ -191,7 +205,8 @@ def main(argv: Optional[list] = None) -> int:
                                          placement=ns.placement,
                                          quantize=ns.quantize,
                                          data_parallel=ns.data_parallel,
-                                         tome_r=ns.tome_r)
+                                         tome_r=ns.tome_r,
+                                         calibration=calibration)
     print("[server] warming up (compiling batch buckets)...", flush=True)
     predictor.warmup()
     serve(predictor, ns.host, ns.port)

@@ -106,6 +106,24 @@ class PackedTrainer(Trainer):
         return len(self.bundle.train) > 0
 
     def _build_steps(self) -> None:
+        # fail fast, not silently half-honor (the round-2 accum lesson):
+        # the accelerated eval knobs run through make_inference_eval_step
+        # (a DENSE CLS-readout forward) — a packed-trained model evaluates
+        # through the packed masked-mean pipeline, which has no int8/ToMe
+        # variant. Rejecting at construction beats an eval that quietly
+        # reports bf16 dense numbers for config the user thinks is active.
+        if self.cfg.train.eval_quantize or self.cfg.train.eval_tome_r:
+            raise ValueError(
+                "train.eval_quantize / train.eval_tome_r do not compose "
+                "with PackedTrainer (its eval packs sequences and reads "
+                "out a masked mean, not the dense CLS forward those knobs "
+                "accelerate) — unset them or use the dense Trainer")
+        if getattr(self.cfg.model, "tome_r", 0):
+            raise ValueError(
+                "model.tome_r does not compose with PackedTrainer: "
+                "merging tokens across a packed sequence would mix "
+                "DIFFERENT images' tokens (segment masks don't survive "
+                "the merge) — unset it or use the dense Trainer")
         self._train_step = S.jit_train_step(
             S.make_packed_train_step(self.cfg, self.total_steps, self.grids),
             self.mesh, self.state)

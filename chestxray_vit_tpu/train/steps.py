@@ -76,11 +76,16 @@ class TrainState:
 # Step builders
 # ---------------------------------------------------------------------------
 
-def make_train_step(cfg: Config, total_steps: int
+def make_train_step(cfg: Config, total_steps: int, int8_scales=None
                     ) -> Callable[[TrainState, Dict[str, jax.Array]],
                                   Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the (unjitted) train step. Callers jit it with shardings via
-    :func:`jit_train_step`."""
+    :func:`jit_train_step`.
+
+    ``int8_scales`` (a ``calibrate_vit_scales`` tree) switches the
+    forward to the int8 straight-through path
+    (``models/int8_train.py``) — exploratory train-speed lever; the
+    backward and optimizer stay bf16/f32."""
     schedule = opt.SCHEDULES[cfg.train.lr_schedule](
         cfg.train.learning_rate, total_steps, cfg.train.warmup_steps)
     adamw_cfg = opt.AdamWConfig(
@@ -97,17 +102,27 @@ def make_train_step(cfg: Config, total_steps: int
             mean=cfg.data.image_mean, std=cfg.data.image_std)
         labels = batch["labels"]
         if mixup_alpha > 0.0:
-            # device-side mixup: one λ ~ Beta(α, α) per step; partner is
-            # the batch rolled by one — a neighbor ppermute under
-            # data-axis sharding, where a random permutation would be an
+            # device-side mixup: λ_i ~ Beta(α, α) PER SAMPLE (Zhang et
+            # al.'s formulation — a per-batch scalar λ is the known
+            # weaker-regularization variant, ADVICE r3); partner is the
+            # batch rolled by one — a neighbor ppermute under data-axis
+            # sharding, where a random permutation would be an
             # all-to-all gather. Soft multi-hot labels feed BCE directly.
             lam = jax.random.beta(jax.random.fold_in(rng, 7),
-                                  mixup_alpha, mixup_alpha)
+                                  mixup_alpha, mixup_alpha,
+                                  (images.shape[0], 1, 1, 1))
             images = lam * images + (1.0 - lam) * jnp.roll(images, 1, 0)
-            labels = (lam * labels.astype(jnp.float32)
-                      + (1.0 - lam) * jnp.roll(labels, 1, 0)
+            lam_l = lam[:, :, 0, 0]
+            labels = (lam_l * labels.astype(jnp.float32)
+                      + (1.0 - lam_l) * jnp.roll(labels, 1, 0)
                       .astype(jnp.float32))
-        logits = vit.apply(params, images, cfg.model, train=True, rng=rng)
+        if int8_scales is not None:
+            from chestxray_vit_tpu.models.int8_train import apply_int8_train
+            logits = apply_int8_train(params, images, cfg.model,
+                                      int8_scales, train=True, rng=rng)
+        else:
+            logits = vit.apply(params, images, cfg.model, train=True,
+                               rng=rng)
         return bce_with_logits(logits, labels), logits
 
     accum = max(cfg.train.gradient_accumulation_steps, 1)

@@ -152,9 +152,12 @@ class Trainer:
         (beyond the reference): int8 (`eval_quantize` — measured +27%
         at the step level, BENCH_NOTES) and/or token merging
         (`eval_tome_r`). For 'static', per-site activation scales are
-        calibrated on ``placed`` — the first batch of the split being
-        evaluated; int8 weights are requantized per evaluate()/predict()
-        call so mid-training evals track the live params."""
+        calibrated ONCE per params version (keyed on state.step) on the
+        first batch offered — repeated evaluate()/predict() calls at the
+        same step reuse the same scales AND the same int8 tree, so
+        quantized eval metrics (incl. best-model selection) cannot drift
+        with eval-batch ordering (ADVICE r3); a new optimizer step
+        invalidates the cache so mid-training evals track live params."""
         from chestxray_vit_tpu.models.quantized import (
             calibrate_vit_scales,
             quantize_vit_params,
@@ -186,11 +189,16 @@ class Trainer:
         fns = self._inference_eval_fns
         if not quantize:
             return self.state.params, fns["step"]
+        ck = (int(self.state.step), quantize, self.cfg.train.eval_tome_r)
+        cached = getattr(self, "_qeval_cache", None)
+        if cached is not None and cached[0] == ck:
+            return cached[1], fns["step"]
         scales = None
         if quantize == "static":
             scales = calibrate_vit_scales(
                 self.state.params, fns["prepare"](placed), self.cfg.model)
         qparams = fns["quantize"](self.state.params, scales)
+        self._qeval_cache = (ck, qparams)
         return qparams, fns["step"]
 
     # ------------------------------------------------------------------

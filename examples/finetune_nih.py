@@ -52,6 +52,18 @@ def main() -> int:
     ap.add_argument("--expect-band", action="store_true",
                     help="exit nonzero when the full-run mean AUC lands "
                          "outside the published 0.77-0.83 band")
+    ap.add_argument("--expect-quant-band", type=float, default=None,
+                    metavar="DELTA",
+                    help="after the fine-tune, re-evaluate with "
+                         "train.eval_quantize=static and exit nonzero "
+                         "when |AUC_int8 - AUC_bf16| > DELTA (real-data "
+                         "fidelity gate for the int8 eval path; try 0.005)")
+    ap.add_argument("--expect-tome-band", type=str, default=None,
+                    metavar="R:DELTA",
+                    help="after the fine-tune, re-evaluate with "
+                         "train.eval_tome_r=R (format 'R:DELTA', e.g. "
+                         "'16:0.01') and exit nonzero when "
+                         "|AUC_tome - AUC_bf16| > DELTA")
     ns = ap.parse_args()
 
     from chestxray_vit_tpu.config import _PRESETS, _set_by_path
@@ -111,6 +123,35 @@ def main() -> int:
     eval_metrics = tr.evaluate()
     print(f"[finetune] train: {train_metrics}")
     print(f"[finetune] eval:  {eval_metrics}")
+
+    # accelerated-eval fidelity gates (VERDICT r3 next #4c): the int8 /
+    # token-merging eval paths re-score the SAME validation split on the
+    # just-trained params; the AUC deltas are the real-data numbers the
+    # synthetic-weight oracle tests structurally cannot produce.
+    accel_fail = 0
+    auc0 = eval_metrics.get("avg_auroc", 0.0)
+    if ns.expect_quant_band is not None:
+        tr.cfg.train.eval_quantize = "static"
+        q_auc = tr.evaluate().get("avg_auroc", 0.0)
+        tr.cfg.train.eval_quantize = None
+        d = abs(q_auc - auc0)
+        ok = d <= ns.expect_quant_band
+        print(f"[finetune] int8-static eval AUC {q_auc:.4f} "
+              f"(Δ {d:.4f} vs bf16; bound {ns.expect_quant_band}) — "
+              f"{'OK' if ok else 'FAIL'}")
+        accel_fail |= not ok
+    if ns.expect_tome_band is not None:
+        r_s, _, d_s = ns.expect_tome_band.partition(":")
+        r, bound = int(r_s), float(d_s or 0.01)
+        tr.cfg.train.eval_tome_r = r
+        t_auc = tr.evaluate().get("avg_auroc", 0.0)
+        tr.cfg.train.eval_tome_r = 0
+        d = abs(t_auc - auc0)
+        ok = d <= bound
+        print(f"[finetune] tome r={r} eval AUC {t_auc:.4f} "
+              f"(Δ {d:.4f} vs bf16; bound {bound}) — "
+              f"{'OK' if ok else 'FAIL'}")
+        accel_fail |= not ok
     # reference parity artifacts (pyc L482-L491): train_results.json is
     # written by train(); eval_results.json here; report + saved model next
     tr.logger.save_results("eval", {
@@ -132,6 +173,9 @@ def main() -> int:
         if ns.expect_band and not within:
             print("[finetune] --expect-band: failing the run")
             return 3
+    if accel_fail:
+        print("[finetune] accelerated-eval fidelity gate failed")
+        return 4
     return 0
 
 

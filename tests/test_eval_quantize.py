@@ -89,3 +89,43 @@ def test_eval_tome_tracks_full_eval(tmp_path, fake, quantize):
     assert np.isfinite(ev["eval_loss"]) and 0.0 <= ev["avg_auroc"] <= 1.0
     cfg.train.eval_quantize = None
     cfg.train.eval_tome_r = 0
+
+
+def test_static_calibration_cached_per_params_version(tmp_path, fake):
+    """Static scales are calibrated ONCE per params version (ADVICE r3):
+    repeated eval calls at the same step reuse the identical int8 tree
+    regardless of which batch is offered first, so quantized eval metrics
+    cannot drift with eval-batch ordering; a new step recalibrates."""
+    import jax.numpy as jnp
+
+    cfg = _cfg(tmp_path, eval_quantize="static", max_steps=2,
+               eval_batch_size_per_core=1)   # val split spans ≥2 batches
+    tr = Trainer(cfg, store=fake.store, pretrained=False)
+    tr.train()
+
+    from chestxray_vit_tpu.data import pipeline as pipe
+    from chestxray_vit_tpu.parallel import distributed as dist
+
+    loader = tr._loader(tr.bundle.val, augment=False)
+    placed = []
+    for batch in pipe.iterate_batches(loader, tr.eval_batch, pad_last=True):
+        batch.pop("num_valid", None)
+        placed.append(dist.form_global_batch(tr.mesh, batch))
+        # a second, differently-ordered batch (what a different eval-batch
+        # ordering would offer the calibrator first)
+        rolled = {k: np.roll(np.asarray(v), 3, axis=0)
+                  for k, v in batch.items()}
+        placed.append(dist.form_global_batch(tr.mesh, rolled))
+        break
+
+    q1, _ = tr._inference_eval(placed[0])
+    q2, _ = tr._inference_eval(placed[1])   # different batch, same step
+    assert q1 is q2
+
+    # different params version → fresh calibration
+    from chestxray_vit_tpu.train.steps import TrainState
+    tr.state = TrainState(step=tr.state.step + 1, params=tr.state.params,
+                          opt_state=tr.state.opt_state, rng=tr.state.rng)
+    q3, _ = tr._inference_eval(placed[1])
+    assert q3 is not q1
+    tr.close()

@@ -32,12 +32,13 @@ except FileNotFoundError:
     pass
 
 
-def _run(tmp_path):
+def _run(tmp_path, tome_r: int = 0, keep_trainer: bool = False):
     cfg = Config(
         data=DataConfig(backend="memory", augment=True),
         model=ModelConfig(img_size=64, patch_size=16, hidden_size=64,
                           num_layers=4, num_heads=4, mlp_dim=256,
-                          dtype="float32", attention_impl="xla"),
+                          dtype="float32", attention_impl="xla",
+                          tome_r=tome_r),
         train=TrainConfig(batch_size_per_core=2, learning_rate=1e-3,
                           max_steps=20, eval_strategy="no",
                           save_strategy="steps", save_steps=10_000,
@@ -49,14 +50,39 @@ def _run(tmp_path):
     tr = Trainer(cfg, store=fake.store, pretrained=False)
     tr.train()
     ev = tr.evaluate()
-    tr.close()
     losses = []
     with open(tmp_path / "golden" / "metrics.jsonl") as f:
         for line in f:
             rec = json.loads(line)
             if rec.get("prefix") == "train":
                 losses.append(rec["loss"])
+    if keep_trainer:
+        return losses, ev, tr
+    tr.close()
     return losses, ev
+
+
+def _agreement_stats(tr):
+    """Pinned logit-agreement of the accelerated eval paths vs the dense
+    eval on the SAME trained params (VERDICT r3 next #4b: drift in
+    eval_quantize/eval_tome must fail CI, not just stay 'above 0.999')."""
+    base, _, _ = tr._forward_all(tr.bundle.val)
+
+    tr.cfg.train.eval_quantize = "static"
+    quant, _, _ = tr._forward_all(tr.bundle.val)
+    tr.cfg.train.eval_quantize = None
+
+    tr.cfg.train.eval_tome_r = 2
+    tome, _, _ = tr._forward_all(tr.bundle.val)
+    tr.cfg.train.eval_tome_r = 0
+
+    def stats(other):
+        return {
+            "corr": float(np.corrcoef(base.ravel(), other.ravel())[0, 1]),
+            "mean_abs": float(np.mean(np.abs(base - other))),
+        }
+
+    return {"quant": stats(quant), "tome": stats(tome)}
 
 
 def test_golden_trajectory(tmp_path):
@@ -72,3 +98,40 @@ def test_golden_trajectory(tmp_path):
                                atol=5e-3)
     np.testing.assert_allclose(ev["eval_loss"], GOLDEN["eval_loss"],
                                rtol=5e-4)
+
+
+def test_golden_tome_trajectory(tmp_path):
+    """The token-merging TRAIN step (model.tome_r) has its own pinned
+    trajectory — the fidelity gate for training with merging on
+    (VERDICT r3 next #2): the merged model must keep learning on the
+    same data at a pinned loss path, and any silent numerics drift in
+    the differentiable merge fails here."""
+    assert GOLDEN.get("tome_losses"), \
+        "tests/golden_run.json lacks tome pins — tools/make_golden.py"
+    losses, ev = _run(tmp_path, tome_r=2)
+    assert len(losses) == 20
+    np.testing.assert_allclose(losses, GOLDEN["tome_losses"], rtol=5e-4,
+                               err_msg="tome train trajectory drifted")
+    np.testing.assert_allclose(ev["avg_auroc"], GOLDEN["tome_avg_auroc"],
+                               atol=5e-3)
+    np.testing.assert_allclose(ev["eval_loss"], GOLDEN["tome_eval_loss"],
+                               rtol=5e-4)
+    # the merged model genuinely trains: final loss well below initial
+    assert losses[-1] < 0.75 * losses[0]
+
+
+def test_golden_accelerated_eval_agreement(tmp_path):
+    """eval_quantize=static and eval_tome_r logit agreement vs the dense
+    eval, pinned (not just thresholded) on the golden-trained params."""
+    assert GOLDEN.get("agreement"), \
+        "tests/golden_run.json lacks agreement pins — tools/make_golden.py"
+    _, _, tr = _run(tmp_path, keep_trainer=True)
+    got = _agreement_stats(tr)
+    tr.close()
+    for path, want in GOLDEN["agreement"].items():
+        np.testing.assert_allclose(
+            got[path]["corr"], want["corr"], atol=2e-3,
+            err_msg=f"{path} eval corr drifted")
+        np.testing.assert_allclose(
+            got[path]["mean_abs"], want["mean_abs"], rtol=0.25,
+            err_msg=f"{path} eval mean|Δlogit| drifted")

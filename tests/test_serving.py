@@ -346,3 +346,33 @@ def test_server_main_flags():
     from chestxray_vit_tpu.serve import server as srv
     with _pytest.raises(SystemExit):
         srv.main(["--model-dir", "x", "--placement", "gpu"])   # bad choice
+
+
+def test_static_synthetic_calibration_warns_and_opts_in(capsys):
+    """quantize='static' with no calibration falls back to seeded noise —
+    LOUDLY (ADVICE r3: a production server must not silently ship
+    noise-calibrated scales); calibration='synthetic' is the explicit,
+    silent opt-in, and an empty calibration set is rejected outright."""
+    cfg = tiny_cfg()
+    params = vit.init_params(jax.random.key(0), cfg)
+
+    Predictor(params, cfg, batch_size=2, quantize="static")
+    err = capsys.readouterr().err
+    assert "WARNING" in err and "synthetic" in err
+
+    Predictor(params, cfg, batch_size=2, quantize="static",
+              calibration="synthetic")
+    assert "WARNING" not in capsys.readouterr().err
+
+    with pytest.raises(ValueError, match="EMPTY calibration"):
+        Predictor(params, cfg, batch_size=2, quantize="static",
+                  calibration=[])
+
+    # real images calibrate silently, and the two explicit modes produce
+    # the same artifact structure
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 256, (32, 32), np.uint8) for _ in range(4)]
+    pred = Predictor(params, cfg, batch_size=2, quantize="static",
+                     calibration=imgs)
+    assert "WARNING" not in capsys.readouterr().err
+    assert "act" in pred._qparams["blocks"]

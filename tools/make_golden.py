@@ -31,12 +31,20 @@ jax.config.update("jax_platforms", "cpu")
 def main() -> int:
     import pathlib
 
-    from tests.test_golden_run import _run
+    from tests.test_golden_run import _agreement_stats, _run
 
     with tempfile.TemporaryDirectory() as td:
-        losses, ev = _run(pathlib.Path(td))
+        losses, ev, tr = _run(pathlib.Path(td), keep_trainer=True)
+        agreement = _agreement_stats(tr)
+        tr.close()
+    with tempfile.TemporaryDirectory() as td:
+        tome_losses, tome_ev = _run(pathlib.Path(td), tome_r=2)
     out = {"losses": losses, "avg_auroc": ev["avg_auroc"],
-           "eval_loss": ev["eval_loss"]}
+           "eval_loss": ev["eval_loss"],
+           "tome_losses": tome_losses,
+           "tome_avg_auroc": tome_ev["avg_auroc"],
+           "tome_eval_loss": tome_ev["eval_loss"],
+           "agreement": agreement}
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tests", "golden_run.json")
     with open(path, "w") as f:
