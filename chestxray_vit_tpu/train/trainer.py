@@ -146,6 +146,16 @@ class Trainer:
             raise ValueError(
                 f"train.eval_tome_r must be >= 0, got "
                 f"{self.cfg.train.eval_tome_r}")
+        mr = getattr(self.cfg.model, "tome_r", 0)
+        if mr and self.cfg.train.eval_tome_r not in (0, mr):
+            # a token-merging model's eval already runs the merged forward
+            # (vit.apply dispatches on model.tome_r); an accelerated eval
+            # at a DIFFERENT r would silently score a different function
+            raise ValueError(
+                f"train.eval_tome_r={self.cfg.train.eval_tome_r} "
+                f"conflicts with model.tome_r={mr} — the model trains "
+                f"AND evaluates with its own r; leave eval_tome_r unset "
+                f"(or equal) and use eval_quantize to accelerate")
 
     def _inference_eval(self, placed):
         """Lazily build the accelerated eval path from the CURRENT params
@@ -165,7 +175,12 @@ class Trainer:
         from chestxray_vit_tpu.ops.preprocess import prepare_pixel_values
 
         quantize = self.cfg.train.eval_quantize
-        key = (bool(quantize), self.cfg.train.eval_tome_r)
+        # a token-merging model (model.tome_r) evals MERGED: the
+        # accelerated step inherits its r, so eval_quantize scores the
+        # same function the model trains (mismatched r rejected at build)
+        eval_r = (self.cfg.train.eval_tome_r
+                  or getattr(self.cfg.model, "tome_r", 0))
+        key = (bool(quantize), eval_r)
         if getattr(self, "_inference_eval_key", None) != key:
             # built ONCE per knob setting: the jitted programs don't
             # depend on the per-call scales (they ride inside qparams /
@@ -184,12 +199,12 @@ class Trainer:
                 "step": S.jit_quantized_eval_step(
                     S.make_inference_eval_step(
                         cfg, quantized=bool(quantize),
-                        tome_r=cfg.train.eval_tome_r), self.mesh),
+                        tome_r=eval_r), self.mesh),
             }
         fns = self._inference_eval_fns
         if not quantize:
             return self.state.params, fns["step"]
-        ck = (int(self.state.step), quantize, self.cfg.train.eval_tome_r)
+        ck = (int(self.state.step), quantize, eval_r)
         cached = getattr(self, "_qeval_cache", None)
         if cached is not None and cached[0] == ck:
             return cached[1], fns["step"]

@@ -188,3 +188,40 @@ def test_packed_trainer_rejects_tome_and_accel_eval(tmp_path):
         PackedTrainer(cfg(train={"eval_tome_r": 4}), seq_len=48,
                       grids=(4,), batch_seqs=8, store=fake.store,
                       pretrained=False)
+
+
+def test_tome_model_eval_consistency_rules(tmp_path):
+    """model.tome_r composes with eval_quantize (the accelerated eval
+    inherits the model's r, scoring the SAME merged function) and rejects
+    a conflicting eval_tome_r."""
+    from chestxray_vit_tpu.data.testing import build_fake_nih
+    from chestxray_vit_tpu.train.trainer import Trainer
+
+    fake = build_fake_nih(num_images=48, image_size=64, seed=11)
+
+    def cfg(**train_kw):
+        train = dict(batch_size_per_core=2, learning_rate=2e-3,
+                     max_steps=2, eval_strategy="no", save_strategy="no",
+                     logging_steps=1, load_best_model_at_end=False,
+                     output_dir=str(tmp_path / "out"), report_to="none",
+                     seed=0)
+        train.update(train_kw)
+        return Config(data=DataConfig(backend="memory"),
+                      model=_model_cfg(num_classes=15, num_layers=2,
+                                       tome_r=3),
+                      train=TrainConfig(**train))
+
+    with pytest.raises(ValueError, match="conflicts with model.tome_r"):
+        Trainer(cfg(eval_tome_r=5), store=fake.store, pretrained=False)
+
+    # eval_quantize inherits r=3: int8 merged eval tracks the bf16 merged
+    # eval on the same trained params
+    tr = Trainer(cfg(), store=fake.store, pretrained=False)
+    tr.train()
+    base_logits, _, _ = tr._forward_all(tr.bundle.val)
+    tr.cfg.train.eval_quantize = "static"
+    q_logits, _, _ = tr._forward_all(tr.bundle.val)
+    tr.cfg.train.eval_quantize = None
+    corr = np.corrcoef(base_logits.ravel(), q_logits.ravel())[0, 1]
+    assert corr > 0.999, corr
+    tr.close()

@@ -12,7 +12,12 @@ REAL merge path (models/tome_forward.apply_tome, int8 static) — matching
 + gather/scatter overheads included.
 
 Usage: python tools/tome_probe.py [batch] [S1 S2 ...]
-       python tools/tome_probe.py real [batch] [r1 r2 ...]
+       python tools/tome_probe.py real [batch] [r1 r2 ...] \
+           [model=vit_b16|vit_l16|...] [img=384|512] [quant=static|none]
+
+The trailing key=value args (real mode) extend the sweep beyond ViT-B
+@384 (VERDICT r4 #8): ViT-L merging, @512's 1025 tokens (where token
+reduction should pay MORE), and the bf16 dense+tome path (quant=none).
 """
 
 import os
@@ -39,16 +44,27 @@ def main() -> None:
 
     real = len(sys.argv) > 1 and sys.argv[1] == "real"
     args = sys.argv[2:] if real else sys.argv[1:]
+    kv = dict(a.split("=", 1) for a in args if "=" in a)
+    args = [a for a in args if "=" not in a]
     batch = int(args[0]) if args else 64
     seqs = [int(s) for s in args[1:]] or (
         [8, 16, 24] if real else [577, 481, 385, 289])
-    cfg = ModelConfig(num_classes=15, remat=False)
+    variant = kv.get("model", "vit_b16")
+    img = int(kv.get("img", 384))
+    quant = kv.get("quant", "static") != "none"
+    if variant != "vit_b16" or img != 384:
+        from chestxray_vit_tpu.config import vit_variant_config
+        cfg = vit_variant_config(variant, img_size=img)
+        cfg.remat = False
+        print(f"model={variant} img={img} quant={quant}", flush=True)
+    else:
+        cfg = ModelConfig(num_classes=15, remat=False)
 
     params = vit.init_params(jax.random.key(0), cfg)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((batch, 384, 384, 3)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((batch, img, img, 3)), jnp.float32)
     scales = calibrate_vit_scales(params, x[:8], cfg)
-    qp = quantize_vit_params(params, scales)
+    qp = quantize_vit_params(params, scales) if quant else params
 
     def fwd(qparams, images, keep):
         compute_dtype = jnp.dtype(cfg.dtype)
@@ -78,10 +94,16 @@ def main() -> None:
                 @ head["kernel"].astype(jnp.float32))
 
     if real:
+        from chestxray_vit_tpu.models.quantized import apply_quantized
         from chestxray_vit_tpu.models.tome_forward import apply_tome
         for r in seqs:
-            f = jax.jit(lambda p, im, r=r: apply_tome(p, im, cfg, r,
-                                                      quantized=True))
+            if r == 0:      # baseline row: the plain (merge-free) forward
+                f = jax.jit(lambda p, im: (
+                    apply_quantized(p, im, cfg) if quant
+                    else vit.apply(p, im, cfg)))
+            else:
+                f = jax.jit(lambda p, im, r=r: apply_tome(p, im, cfg, r,
+                                                          quantized=quant))
             t0 = time.perf_counter()
             out = f(qp, x)
             float(out[0, 0])
@@ -95,7 +117,8 @@ def main() -> None:
                     float(out[0, 0])
             float(out[0, 0])
             dt = (time.perf_counter() - t0) / iters
-            print(f"tome r={r} (int8 static): {batch / dt:.1f} img/s  "
+            label = "int8 static" if quant else "bf16 dense"
+            print(f"tome r={r} ({label}): {batch / dt:.1f} img/s  "
                   f"{dt * 1e3:.2f} ms", flush=True)
         return
 
