@@ -8,6 +8,9 @@ merging) pointed at the flat ~233 img/s train step (VERDICT r3 next
     python tools/train_accel_probe.py tome  [batch] [r]    # model.tome_r
     python tools/train_accel_probe.py int8  [batch]        # int8-STE fwd
 
+Trailing ``remat=0/1`` overrides the batch>32 remat heuristic (merging
+shrinks activation memory — large-r steps may fit without remat).
+
 Prints img/s/chip (per-step scalar sync, sync-16 window — timing
 discipline per BENCH_NOTES.md). Defaults: batch 36 (the measured dense
 sweet spot), r 16.
@@ -33,15 +36,21 @@ def main() -> None:
     from chestxray_vit_tpu.utils.compilation_cache import (
         enable_compilation_cache)
 
-    mode = sys.argv[1] if len(sys.argv) > 1 else "dense"
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 36
-    r = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    kv = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
+    pos = [a for a in sys.argv[1:] if "=" not in a]
+    mode = pos[0] if pos else "dense"
+    batch = int(pos[1]) if len(pos) > 1 else 36
+    r = int(pos[2]) if len(pos) > 2 else 16
+    # remat=0/1 overrides the default batch>32 heuristic — merging shrinks
+    # activation memory, so large-r tome steps may fit WITHOUT remat (and
+    # skip the recompute half of the backward)
+    remat = bool(int(kv["remat"])) if "remat" in kv else batch > 32
 
     enable_compilation_cache(os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".xla_cache"))
 
     n_chips = len(jax.devices())
-    cfg = Config(model=ModelConfig(num_classes=15, remat=batch > 32,
+    cfg = Config(model=ModelConfig(num_classes=15, remat=remat,
                                    tome_r=(r if mode == "tome" else 0)),
                  train=TrainConfig())
 
@@ -93,6 +102,7 @@ def main() -> None:
     ips = b / dt / n_chips
     print(f"mode={mode} batch={batch}/chip"
           + (f" r={r}" if mode == "tome" else "")
+          + f" remat={int(remat)}"
           + f": {ips:.1f} img/s/chip ({dt * 1e3:.1f} ms/step,"
           f" loss {float(m['loss']):.4f})")
 
