@@ -8,10 +8,23 @@ the queue up to ``predictor.batch_size`` items, waiting at most
 ``max_wait_ms`` after the first arrival, and resolves per-request futures
 from one device call. Requests with and without attention maps group
 separately (they run different compiled programs).
+
+The two halves of a micro-batch run as a two-stage pipeline: a *stager*
+thread does the host work (decode + C++ crop/pad/resize, tail padding,
+async host→device transfer — ``Predictor.stage_chunk``) and a *device*
+thread runs the compiled forward and resolves futures
+(``Predictor.forward_staged``). Staging of group N+1 overlaps the device
+forward of group N, so sustained throughput is max(stage, fwd) instead of
+stage+fwd — on a host-decode-bound box that is most of the win. A bounded
+hand-off queue (depth 2) keeps at most two groups in flight, so latency
+and device memory stay bounded. ``pipeline=False`` (or env
+``CXR_SERVE_PIPELINE=0``) runs both halves on the stager thread —
+the round-3 serialized behavior, kept for A/B measurement.
 """
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import Future
@@ -36,12 +49,24 @@ class BatchedResult:
 
 
 class MicroBatcher:
-    def __init__(self, predictor, max_wait_ms: float = 5.0):
+    def __init__(self, predictor, max_wait_ms: float = 5.0,
+                 pipeline: Optional[bool] = None):
         self.predictor = predictor
         self.max_wait = max_wait_ms / 1000.0
+        if pipeline is None:
+            pipeline = os.environ.get("CXR_SERVE_PIPELINE", "1") != "0"
+        self.pipeline = bool(pipeline)
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
         self._lock = threading.Lock()
+        # bounded hand-off: at most 2 staged groups in flight (one on the
+        # device, one staged and waiting) — backpressure onto the stager
+        self._devq: "queue.Queue" = queue.Queue(maxsize=2)
+        self._dev_thread: Optional[threading.Thread] = None
+        if self.pipeline:
+            self._dev_thread = threading.Thread(target=self._run_device,
+                                                daemon=True)
+            self._dev_thread.start()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -70,7 +95,18 @@ class MicroBatcher:
             self._closed = True
             self._q.put(None)
         self._thread.join(timeout=5)
-        # belt-and-braces: fail anything still queued (e.g. the worker died)
+        if self._dev_thread is not None:
+            if self._thread.is_alive():
+                # stager is stuck (it forwards the sentinel on a clean
+                # exit) — post one directly so the device thread can stop;
+                # non-blocking: a full hand-off queue means the device
+                # thread is wedged anyway and the drain below cleans up
+                try:
+                    self._devq.put_nowait(None)
+                except queue.Full:
+                    pass
+            self._dev_thread.join(timeout=5)
+        # belt-and-braces: fail anything still queued (e.g. a worker died)
         while True:
             try:
                 item = self._q.get_nowait()
@@ -78,6 +114,14 @@ class MicroBatcher:
                 break
             if item is not None:
                 item.future.set_exception(RuntimeError("batcher is closed"))
+        while True:
+            try:
+                item = self._devq.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                for r in item[0]:
+                    r.future.set_exception(RuntimeError("batcher is closed"))
 
     # ------------------------------------------------------------------
 
@@ -99,10 +143,28 @@ class MicroBatcher:
             group.append(item)
         return group
 
+    def _resolve(self, sub: List[_Request], flag: bool, staged) -> None:
+        """Device half for one homogeneous group: forward + futures."""
+        try:
+            out = self.predictor.forward_staged(staged, len(sub),
+                                                with_maps=flag)
+            for i, r in enumerate(sub):
+                r.future.set_result(BatchedResult(
+                    logits=out.logits[i], probs=out.probs[i],
+                    attn_map=(out.maps[i] if flag and out.maps is not None
+                              else None)))
+        except Exception as e:                  # noqa: BLE001
+            for r in sub:
+                r.future.set_exception(e)
+
     def _run(self) -> None:
+        """Stager: collect a group, run the host half, hand the staged
+        operands to the device thread (or run inline when pipeline=off)."""
         while True:
             item = self._q.get()
             if item is None:
+                if self._dev_thread is not None:
+                    self._devq.put(None)   # propagate shutdown downstream
                 return
             group = self._collect(item)
             for flag in (False, True):
@@ -110,13 +172,21 @@ class MicroBatcher:
                 if not sub:
                     continue
                 try:
-                    out = self.predictor.predict_bytes(
-                        [r.data for r in sub], with_maps=flag)
-                    for i, r in enumerate(sub):
-                        r.future.set_result(BatchedResult(
-                            logits=out.logits[i], probs=out.probs[i],
-                            attn_map=(out.maps[i] if flag and
-                                      out.maps is not None else None)))
-                except Exception as e:                  # noqa: BLE001
+                    staged = self.predictor.stage_chunk(
+                        [r.data for r in sub])
+                except Exception as e:              # noqa: BLE001
                     for r in sub:
                         r.future.set_exception(e)
+                    continue
+                if self._dev_thread is not None:
+                    self._devq.put((sub, flag, staged))   # backpressured
+                else:
+                    self._resolve(sub, flag, staged)
+
+    def _run_device(self) -> None:
+        while True:
+            item = self._devq.get()
+            if item is None:
+                return
+            sub, flag, staged = item
+            self._resolve(sub, flag, staged)

@@ -389,6 +389,43 @@ class Predictor:
             b = ((b + n - 1) // n) * n
         return min(max(b, n), bs)
 
+    def stage_chunk(self, chunk: Sequence[bytes]):
+        """Host half of one micro-batch: decode + crop/pad/resize (C++/PIL
+        threads), pad to the power-of-two bucket, and BEGIN the async
+        host→device transfer. Returns the staged device operands — hand
+        them to :meth:`forward_staged`. Splitting the two halves lets a
+        caller (serve.batcher.MicroBatcher) overlap host staging of batch
+        N+1 with the device forward of batch N — on a host-decode-bound
+        box that turns throughput from stage+fwd into max(stage, fwd)."""
+        valid = len(chunk)
+        if not 0 < valid <= self.batch_size:
+            raise ValueError(f"chunk of {valid} images; expected 1.."
+                             f"{self.batch_size}")
+        # static-shape tail padding: zero rows, no redundant decode;
+        # padded up to the nearest power-of-two bucket, not full batch
+        return tuple(jnp.asarray(a)
+                     for a in self._stage(
+                         list(chunk),
+                         self._bucket(valid, self.batch_size) - valid))
+
+    def forward_staged(self, staged, valid: int,
+                       with_maps: bool = False) -> PredictOutput:
+        """Device half of one micro-batch: run the compiled forward on
+        operands from :meth:`stage_chunk` and pull the first ``valid``
+        rows to host (the pull is the synchronization point)."""
+        if with_maps:
+            logits, probs, maps = self._forward_rollout(self.params, *staged)
+            maps_np = np.asarray(maps)[:valid]
+        else:
+            logits, probs = self._forward(self._fwd_params, *staged)
+            maps_np = None
+        return PredictOutput(
+            probs=np.asarray(probs)[:valid],
+            logits=np.asarray(logits)[:valid],
+            classes=self.classes,
+            maps=maps_np,
+        )
+
     def predict_bytes(self, images_bytes: Sequence[bytes],
                       with_maps: bool = False) -> PredictOutput:
         """Micro-batched inference over raw encoded images."""
@@ -397,20 +434,12 @@ class Predictor:
         logits_out, probs_out, maps_out = [], [], []
         for lo in range(0, n, bs):
             chunk = list(images_bytes[lo:lo + bs])
-            valid = len(chunk)
-            # static-shape tail padding: zero rows, no redundant decode;
-            # padded up to the nearest power-of-two bucket, not full batch
-            staged = tuple(jnp.asarray(a)
-                           for a in self._stage(
-                               chunk, self._bucket(valid, bs) - valid))
-            if with_maps:
-                logits, probs, maps = self._forward_rollout(
-                    self.params, *staged)
-                maps_out.append(np.asarray(maps)[:valid])
-            else:
-                logits, probs = self._forward(self._fwd_params, *staged)
-            logits_out.append(np.asarray(logits)[:valid])
-            probs_out.append(np.asarray(probs)[:valid])
+            out = self.forward_staged(self.stage_chunk(chunk), len(chunk),
+                                      with_maps=with_maps)
+            logits_out.append(out.logits)
+            probs_out.append(out.probs)
+            if out.maps is not None:
+                maps_out.append(out.maps)
         return PredictOutput(
             probs=np.concatenate(probs_out),
             logits=np.concatenate(logits_out),

@@ -240,17 +240,18 @@ def test_microbatcher_coalesces_and_matches(rng):
     pred = Predictor(params, cfg, classes=list("ABCDE"), batch_size=8,
                      canvas_size=64)
     calls = {"n": 0}
-    orig = pred.predict_bytes
+    orig = pred.forward_staged
 
-    def counting(images_bytes, with_maps=False):
+    def counting(staged, valid, with_maps=False):
+        # the batcher's device half — one call per coalesced group
         calls["n"] += 1
-        return orig(images_bytes, with_maps=with_maps)
+        return orig(staged, valid, with_maps=with_maps)
 
-    pred.predict_bytes = counting
+    pred.forward_staged = counting
 
     blobs = [_png(rng.integers(0, 255, (64, 64), np.uint8))
              for _ in range(8)]
-    solo = [orig([b]).probs[0] for b in blobs]
+    solo = [pred.predict_bytes([b]).probs[0] for b in blobs]
     calls["n"] = 0
 
     batcher = MicroBatcher(pred, max_wait_ms=150.0)
@@ -271,6 +272,41 @@ def test_microbatcher_coalesces_and_matches(rng):
     for i in range(8):
         np.testing.assert_allclose(results[i], solo[i], atol=1e-5)
     assert calls["n"] <= 4                  # 8 requests coalesced
+
+
+def test_microbatcher_pipeline_off_matches(rng):
+    """pipeline=False (serialized stage+forward on one thread) resolves
+    the same results as the default two-stage pipeline."""
+    import threading
+    from chestxray_vit_tpu.serve.batcher import MicroBatcher
+
+    cfg = tiny_cfg()
+    params = vit.init_params(jax.random.key(6), cfg)
+    pred = Predictor(params, cfg, classes=list("ABCDE"), batch_size=4,
+                     canvas_size=64)
+    blobs = [_png(rng.integers(0, 255, (64, 64), np.uint8))
+             for _ in range(6)]
+    out = {}
+    for mode in (True, False):
+        batcher = MicroBatcher(pred, max_wait_ms=100.0, pipeline=mode)
+        barrier = threading.Barrier(len(blobs))
+        res = [None] * len(blobs)
+
+        def worker(i, b=batcher, bar=barrier, r=res):
+            bar.wait()
+            r[i] = b.predict(blobs[i]).probs
+
+        ts = [threading.Thread(target=worker, args=(i,))
+              for i in range(len(blobs))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=60)
+        batcher.close()
+        out[mode] = res
+    for a, b in zip(out[True], out[False]):
+        assert a is not None and b is not None
+        np.testing.assert_allclose(a, b, atol=1e-6)
 
 
 def test_microbatcher_mixed_maps_and_errors(rng):

@@ -72,8 +72,12 @@ def main() -> None:
     t0 = time.perf_counter()
     pred.warmup()
     warm_s = time.perf_counter() - t0
+    from chestxray_vit_tpu.data import decode as dec
+    pipelined = os.environ.get("CXR_SERVE_PIPELINE", "1") != "0"
     print(f"config: quantize={quantize} tome_r={tome_r} "
-          f"batch={batch_size} cache={'on' if use_cache else 'OFF'}")
+          f"batch={batch_size} cache={'on' if use_cache else 'OFF'} "
+          f"decode={'native' if dec.native_available() else 'PIL'} "
+          f"pipeline={'on' if pipelined else 'off'}")
     print(f"cold start: build {build_s:.1f}s + warmup(compile all "
           f"buckets) {warm_s:.1f}s", flush=True)
 
