@@ -182,6 +182,12 @@ class ModelConfig:
     # exactly like the paper's formulation. 0 = off (the reference's
     # semantics). Quality/speed tradeoff knob — see BENCH_NOTES.md.
     tome_r: int = 0
+    # Per-layer distribution of the merge budget: 'constant' (r pairs in
+    # every layer, the paper's default) or 'decreasing' (linearly decaying
+    # counts with the same r·L total — front-loads merging where tokens
+    # are plentiful and avoids the deep-layer clamp floor on long stacks;
+    # ops/tome.r_schedule). Only read when tome_r > 0.
+    tome_schedule: str = "constant"
 
     @property
     def num_patches(self) -> int:
@@ -208,6 +214,10 @@ class ModelConfig:
             raise ValueError(
                 f"hidden_size {self.hidden_size} is not divisible by "
                 f"num_heads {self.num_heads}")
+        if self.tome_schedule not in ("constant", "decreasing"):
+            raise ValueError(
+                f"model.tome_schedule must be 'constant' or 'decreasing', "
+                f"got {self.tome_schedule!r}")
 
 
 # The standard ViT family (An Image is Worth 16x16 Words, Table 1, plus the

@@ -30,14 +30,15 @@ from chestxray_vit_tpu.models import vit
 from chestxray_vit_tpu.models.quantized import _SITE_OF, embed_tokens
 from chestxray_vit_tpu.ops.gelu import gelu as _gelu
 from chestxray_vit_tpu.ops.quant import int8_matmul, int8_matmul_static
-from chestxray_vit_tpu.ops.tome import tome_merge
+from chestxray_vit_tpu.ops.tome import r_schedule, tome_merge
 
 Params = Dict[str, Any]
 
 
 def apply_tome_train(params: Params, images: jax.Array, cfg: ModelConfig,
                      r: int, *, train: bool = True,
-                     rng: Optional[jax.Array] = None) -> jax.Array:
+                     rng: Optional[jax.Array] = None,
+                     schedule: str = "constant") -> jax.Array:
     """Differentiable token-merging forward for TRAINING (model.tome_r).
 
     The train-step counterpart of :func:`apply_tome`: dense bf16 weights,
@@ -63,50 +64,57 @@ def apply_tome_train(params: Params, images: jax.Array, cfg: ModelConfig,
     x = vit.embed(params, images, cfg, compute_dtype)
     sizes = jnp.ones(x.shape[:2], jnp.float32)
     key = rng
+    rs = r_schedule(r, cfg.num_layers, schedule)
 
-    def block(x, sizes, bp, sub):
-        a_in = vit.layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"],
-                              cfg.layernorm_eps)
-        attn_out, _, kmean = vit._mha(
-            a_in, bp, cfg, cfg.attention_impl, dropout_rng=sub,
-            train=train, return_key_mean=True)
-        attn_out = vit._dropout(attn_out, cfg.hidden_dropout, sub, train, 0)
-        x = x + attn_out
-        # merge between attention and MLP (paper placement); r clamps per
-        # layer so deep layers with few tokens left merge less
-        r_l = min(r, (x.shape[1] + 1) // 2 - 1)
-        if r_l > 0:
-            x, sizes = tome_merge(x, kmean, sizes, r_l)
-        m_in = vit.layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
-                              cfg.layernorm_eps)
-        hmid = _gelu(m_in @ bp["mlp_in"]["kernel"] + bp["mlp_in"]["bias"],
-                     approximate=cfg.gelu_approximate)
-        hmid = jax.ad_checkpoint.checkpoint_name(hmid, "mlp_hidden")
-        mlp_out = hmid @ bp["mlp_out"]["kernel"] + bp["mlp_out"]["bias"]
-        mlp_out = vit._dropout(mlp_out, cfg.hidden_dropout, sub, train, 1)
-        return x + mlp_out, sizes
+    def make_block(r_i):
+        def block(x, sizes, bp, sub):
+            a_in = vit.layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"],
+                                  cfg.layernorm_eps)
+            attn_out, _, kmean = vit._mha(
+                a_in, bp, cfg, cfg.attention_impl, dropout_rng=sub,
+                train=train, return_key_mean=True)
+            attn_out = vit._dropout(attn_out, cfg.hidden_dropout, sub,
+                                    train, 0)
+            x = x + attn_out
+            # merge between attention and MLP (paper placement); r clamps
+            # per layer so deep layers with few tokens left merge less
+            r_l = min(r_i, (x.shape[1] + 1) // 2 - 1)
+            if r_l > 0:
+                x, sizes = tome_merge(x, kmean, sizes, r_l)
+            m_in = vit.layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
+                                  cfg.layernorm_eps)
+            hmid = _gelu(m_in @ bp["mlp_in"]["kernel"]
+                         + bp["mlp_in"]["bias"],
+                         approximate=cfg.gelu_approximate)
+            hmid = jax.ad_checkpoint.checkpoint_name(hmid, "mlp_hidden")
+            mlp_out = hmid @ bp["mlp_out"]["kernel"] + bp["mlp_out"]["bias"]
+            mlp_out = vit._dropout(mlp_out, cfg.hidden_dropout, sub,
+                                   train, 1)
+            return x + mlp_out, sizes
 
-    fn = block
-    if cfg.remat:
-        fn = jax.checkpoint(block, policy=vit.remat_policy(cfg),
-                            prevent_cse=False)
+        if cfg.remat:
+            return jax.checkpoint(block, policy=vit.remat_policy(cfg),
+                                  prevent_cse=False)
+        return block
 
-    for bp in vit.unstack_blocks(params, cfg, compute_dtype):
+    for bp, r_i in zip(vit.unstack_blocks(params, cfg, compute_dtype), rs):
         key, sub = (jax.random.split(key) if key is not None
                     else (None, None))
-        x, sizes = fn(x, sizes, bp, sub)
+        x, sizes = make_block(r_i)(x, sizes, bp, sub)
 
     return vit.head_logits(params, x, cfg)
 
 
 def apply_tome(params: Params, images: jax.Array, cfg: ModelConfig,
-               r: int, quantized: bool = False) -> jax.Array:
+               r: int, quantized: bool = False,
+               schedule: str = "constant") -> jax.Array:
     """NHWC images → f32 logits, merging ``r`` token pairs per layer.
 
     ``params``: the plain trained tree, or a ``quantize_vit_params`` tree
     with ``quantized=True`` (static or dynamic). ``r`` clamps per layer
-    to ceil(S_l/2) - 1 (the paper's schedule), so deep layers with few
-    tokens left merge less instead of erroring.
+    to ceil(S_l/2) - 1, so deep layers with few tokens left merge less
+    instead of erroring. ``schedule`` distributes the r·L budget across
+    layers ('constant' | 'decreasing' — ``ops/tome.r_schedule``).
     """
     if r <= 0:
         raise ValueError(f"tome r={r} must be positive (use the plain "
@@ -132,6 +140,7 @@ def apply_tome(params: Params, images: jax.Array, cfg: ModelConfig,
 
     sizes = jnp.ones(x.shape[:2], jnp.float32)
     blocks = params["blocks"]
+    rs = r_schedule(r, cfg.num_layers, schedule)
 
     def heads(y):
         bsz, s, _ = y.shape
@@ -151,9 +160,9 @@ def apply_tome(params: Params, images: jax.Array, cfg: ModelConfig,
         x = x + proj(merged, bp, "wo")
         # ToMe sits between attention and MLP; the metric is this
         # layer's keys (mean over heads), aligned with x pre-merge.
-        # r clamps per layer (paper's schedule): deep layers with few
-        # tokens left merge less instead of erroring out
-        r_l = min(r, (x.shape[1] + 1) // 2 - 1)
+        # r clamps per layer: deep layers with few tokens left merge
+        # less instead of erroring out
+        r_l = min(rs[layer], (x.shape[1] + 1) // 2 - 1)
         if r_l > 0:
             x, sizes = tome_merge(x, k.mean(axis=1), sizes, r_l)
         m_in = vit.layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"],

@@ -278,7 +278,9 @@ def apply(params: Params, images: jax.Array, cfg: ModelConfig, *,
         # module (lazy import: tome_forward imports this module).
         from chestxray_vit_tpu.models.tome_forward import apply_tome_train
         return apply_tome_train(params, images, cfg, cfg.tome_r,
-                                train=train, rng=rng)
+                                train=train, rng=rng,
+                                schedule=getattr(cfg, "tome_schedule",
+                                                 "constant"))
     compute_dtype = jnp.dtype(cfg.dtype)
     cast = lambda p: jax.tree.map(lambda a: a.astype(compute_dtype), p)
 

@@ -32,6 +32,41 @@ import jax.numpy as jnp
 _NEG_INF = -1e30
 
 
+def r_schedule(r: int, num_layers: int, schedule: str = "constant"
+               ) -> Tuple[int, ...]:
+    """Per-layer merge counts for a nominal rate ``r``.
+
+    - 'constant': r pairs every layer (the paper's default).
+    - 'decreasing': linearly decaying counts with the SAME total merged
+      tokens (r·L), weighted ∝ (L−l) — most merging in early layers where
+      tokens are redundant and plentiful, tapering toward zero at depth.
+      The paper's decreasing schedule (arXiv:2210.09461 §4.1) avoids the
+      per-layer clamp floor that constant-r hits on deep models (e.g.
+      ViT-L at r=32: 24·32 = 768 ≥ the 576 patch tokens), and front-loads
+      the token reduction where the most compute remains downstream.
+
+    The forwards still clamp each layer to the feasible maximum
+    (ceil(S_l/2) − 1), so an infeasible early-layer count degrades
+    gracefully instead of erroring.
+    """
+    if r < 0:
+        raise ValueError(f"r={r} must be >= 0")
+    if num_layers < 1:
+        raise ValueError(f"num_layers={num_layers} must be >= 1")
+    if schedule == "constant":
+        return (r,) * num_layers
+    if schedule != "decreasing":
+        raise ValueError(f"unknown tome schedule {schedule!r} "
+                         "(expected 'constant' or 'decreasing')")
+    total = r * num_layers
+    weights = range(num_layers, 0, -1)
+    sw = num_layers * (num_layers + 1) // 2
+    rs = [total * w // sw for w in weights]
+    for i in range(total - sum(rs)):   # exact total: remainder to the front
+        rs[i] += 1
+    return tuple(rs)
+
+
 def bipartite_soft_matching(metric: jax.Array, r: int
                             ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Pick the r most-mergeable (source, destination) token pairs.

@@ -49,7 +49,8 @@ class Predictor:
                  batch_size: int = 8, canvas_size: int = 1024,
                  placement: str = "host", quantize=False,
                  calibration: Optional[Sequence[np.ndarray]] = None,
-                 data_parallel=False, qparams=None, tome_r: int = 0):
+                 data_parallel=False, qparams=None, tome_r: int = 0,
+                 tome_schedule: str = "constant"):
         """``placement`` picks where crop/pad/resize runs:
 
         - 'host' (default): decode + native C++ crop/pad/resize on host,
@@ -196,14 +197,18 @@ class Predictor:
                 self._qparams = quantize_vit_params(params, scales)
 
         self.tome_r = int(tome_r or 0)
+        self.tome_schedule = tome_schedule
         if self.tome_r:
             # opt-in speed/quality knob: merge r token pairs per layer
-            # (models/tome_forward.py); composes with quantize
+            # (models/tome_forward.py); composes with quantize.
+            # tome_schedule distributes the budget over layers
+            # ('decreasing' front-loads merging — ops/tome.r_schedule)
             from chestxray_vit_tpu.models.tome_forward import apply_tome
 
             def forward(p, *staged):
                 logits = apply_tome(p, images_of(staged), cfg,
-                                    self.tome_r, quantized=bool(quantize))
+                                    self.tome_r, quantized=bool(quantize),
+                                    schedule=self.tome_schedule)
                 return logits, jax.nn.sigmoid(logits)
         elif quantize:
             def forward(qparams, *staged):
@@ -241,6 +246,7 @@ class Predictor:
     def from_model_dir(cls, directory: str, batch_size: int = 8,
                        placement: str = "host", quantize=False,
                        data_parallel=False, tome_r: int = 0,
+                       tome_schedule: str = "constant",
                        calibration=None) -> "Predictor":
         """Load a ``Trainer.save_model()`` directory. With ``quantize``
         set, a matching ``quantized/`` artifact in the directory (written
@@ -284,7 +290,8 @@ class Predictor:
         return cls(params, cfg.model, classes, batch_size,
                    placement=placement, quantize=quantize,
                    data_parallel=data_parallel, qparams=qparams,
-                   tome_r=tome_r, calibration=calibration)
+                   tome_r=tome_r, tome_schedule=tome_schedule,
+                   calibration=calibration)
 
     def save_quantized(self, directory: str) -> str:
         """Persist this Predictor's quantized tree (int8 weights + static

@@ -181,6 +181,12 @@ def main(argv: Optional[list] = None) -> int:
                          "(token merging — opt-in speed/quality tradeoff; "
                          "validate fidelity on your data). Composes with "
                          "--quantize")
+    ap.add_argument("--tome-schedule", choices=("constant", "decreasing"),
+                    default="constant",
+                    help="distribute the r*L merge budget over layers: "
+                         "'decreasing' front-loads merging in early "
+                         "layers and tapers to zero at depth (avoids the "
+                         "deep-layer clamp on long stacks, e.g. ViT-L)")
     ap.add_argument("--calibration", nargs="*", default=None,
                     help="PNG/JPEG files for --quantize static activation "
                          "calibration; 'synthetic' opts into the seeded "
@@ -206,6 +212,7 @@ def main(argv: Optional[list] = None) -> int:
                                          quantize=ns.quantize,
                                          data_parallel=ns.data_parallel,
                                          tome_r=ns.tome_r,
+                                         tome_schedule=ns.tome_schedule,
                                          calibration=calibration)
     print("[server] warming up (compiling batch buckets)...", flush=True)
     predictor.warmup()

@@ -338,7 +338,9 @@ def make_inference_eval_step(cfg: Config, quantized: bool = False,
         if tome_r:
             from chestxray_vit_tpu.models.tome_forward import apply_tome
             logits = apply_tome(params, images, cfg.model, tome_r,
-                                quantized=quantized)
+                                quantized=quantized,
+                                schedule=getattr(cfg.model, "tome_schedule",
+                                                 "constant"))
         elif quantized:
             logits = apply_quantized(params, images, cfg.model)
         else:

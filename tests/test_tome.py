@@ -163,3 +163,24 @@ def test_bf16_merge_tracks_f32():
                           jnp.asarray(metric, jnp.bfloat16),
                           jnp.asarray(big), r)
     assert float(np.asarray(big_s).sum()) == 300.0 * s * b
+
+
+def test_r_schedule():
+    """Per-layer budget distribution: constant replicates r; decreasing
+    preserves the exact r·L total, never increases with depth, and
+    front-loads (first layer gets ~2r)."""
+    from chestxray_vit_tpu.ops.tome import r_schedule
+
+    assert r_schedule(16, 12, "constant") == (16,) * 12
+    for r, L in [(16, 12), (32, 24), (8, 3), (5, 1), (1, 12)]:
+        rs = r_schedule(r, L, "decreasing")
+        assert len(rs) == L
+        assert sum(rs) == r * L                   # same merged total
+        assert all(a >= b for a, b in zip(rs, rs[1:]))  # non-increasing
+        assert rs[0] >= r                         # front-loaded
+    # L=1 degenerates to constant
+    assert r_schedule(7, 1, "decreasing") == (7,)
+    with pytest.raises(ValueError):
+        r_schedule(16, 12, "linear")
+    with pytest.raises(ValueError):
+        r_schedule(-1, 12)

@@ -225,3 +225,37 @@ def test_tome_model_eval_consistency_rules(tmp_path):
     corr = np.corrcoef(base_logits.ravel(), q_logits.ravel())[0, 1]
     assert corr > 0.999, corr
     tr.close()
+
+
+def test_decreasing_schedule_forwards(tiny):
+    """tome_schedule='decreasing' (ops/tome.r_schedule): both forwards
+    run with the front-loaded per-layer budget, produce finite logits
+    distinct from the constant schedule's, end at the same token
+    bottom-line (same r·L total merged), and gradients stay finite."""
+    cfg, params, imgs = tiny
+
+    const = apply_tome(params, imgs, cfg, r=4)
+    decr = apply_tome(params, imgs, cfg, r=4, schedule="decreasing")
+    assert np.isfinite(np.asarray(decr)).all()
+    assert not np.allclose(np.asarray(const), np.asarray(decr))
+
+    # training dispatch honors model.tome_schedule through vit.apply
+    cfg_d = _model_cfg(tome_r=4, tome_schedule="decreasing")
+    via_apply = vit.apply(params, imgs, cfg_d, train=False)
+    direct = apply_tome_train(params, imgs, cfg_d, 4, train=False,
+                              schedule="decreasing")
+    np.testing.assert_allclose(np.asarray(via_apply), np.asarray(direct),
+                               atol=1e-5)
+
+    def loss(p):
+        return jnp.sum(vit.apply(p, imgs, cfg_d, train=False) ** 2)
+
+    grads = jax.grad(loss)(params)
+    flat = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert any(float(jnp.abs(g).sum()) > 0 for g in flat)
+
+
+def test_bad_schedule_rejected():
+    with pytest.raises(ValueError, match="tome_schedule"):
+        _model_cfg(tome_r=4, tome_schedule="linear")

@@ -52,6 +52,7 @@ def main() -> None:
     variant = kv.get("model", "vit_b16")
     img = int(kv.get("img", 384))
     quant = kv.get("quant", "static") != "none"
+    sched = kv.get("sched", "constant")   # constant | decreasing
     if variant != "vit_b16" or img != 384:
         from chestxray_vit_tpu.config import vit_variant_config
         cfg = vit_variant_config(variant, img_size=img)
@@ -102,8 +103,8 @@ def main() -> None:
                     apply_quantized(p, im, cfg) if quant
                     else vit.apply(p, im, cfg)))
             else:
-                f = jax.jit(lambda p, im, r=r: apply_tome(p, im, cfg, r,
-                                                          quantized=quant))
+                f = jax.jit(lambda p, im, r=r: apply_tome(
+                    p, im, cfg, r, quantized=quant, schedule=sched))
             t0 = time.perf_counter()
             out = f(qp, x)
             float(out[0, 0])
@@ -118,6 +119,8 @@ def main() -> None:
             float(out[0, 0])
             dt = (time.perf_counter() - t0) / iters
             label = "int8 static" if quant else "bf16 dense"
+            if sched != "constant":
+                label += f", {sched}"
             print(f"tome r={r} ({label}): {batch / dt:.1f} img/s  "
                   f"{dt * 1e3:.2f} ms", flush=True)
         return

@@ -45,13 +45,15 @@ def main() -> None:
     # activation memory, so large-r tome steps may fit WITHOUT remat (and
     # skip the recompute half of the backward)
     remat = bool(int(kv["remat"])) if "remat" in kv else batch > 32
+    sched = kv.get("sched", "constant")   # constant | decreasing
 
     enable_compilation_cache(os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".xla_cache"))
 
     n_chips = len(jax.devices())
     cfg = Config(model=ModelConfig(num_classes=15, remat=remat,
-                                   tome_r=(r if mode == "tome" else 0)),
+                                   tome_r=(r if mode == "tome" else 0),
+                                   tome_schedule=sched),
                  train=TrainConfig())
 
     mesh = mesh_lib.build_mesh()
@@ -102,6 +104,7 @@ def main() -> None:
     ips = b / dt / n_chips
     print(f"mode={mode} batch={batch}/chip"
           + (f" r={r}" if mode == "tome" else "")
+          + (f" sched={sched}" if sched != "constant" else "")
           + f" remat={int(remat)}"
           + f": {ips:.1f} img/s/chip ({dt * 1e3:.1f} ms/step,"
           f" loss {float(m['loss']):.4f})")
