@@ -60,9 +60,11 @@ def _probe_alive() -> bool:
 def supervise(argv: list) -> int:
     deadline = time.monotonic() + _RETRY_WINDOW_S
     attempt = 0
+    probe_ok = False
     while True:
         attempt += 1
-        if _probe_alive():
+        probe_ok = _probe_alive()
+        if probe_ok:
             cmd = [sys.executable, os.path.abspath(__file__), "--run"] + argv
             try:
                 r = subprocess.run(cmd, stdout=subprocess.PIPE, text=True,
@@ -85,6 +87,15 @@ def supervise(argv: list) -> int:
             print(f"bench: liveness probe {attempt} failed "
                   "(tiny matmul did not complete)", file=sys.stderr)
         if time.monotonic() >= deadline:
+            if probe_ok:
+                # The chip answers the tiny-matmul probe but the benchmark
+                # child keeps failing: that is NOT the tunnel wedge — the
+                # child's traceback is on stderr above. Surface it as such.
+                print("bench: benchmark child failed repeatedly while the "
+                      "liveness probe passed — see the traceback above "
+                      "(framework error or mid-run wedge), not the "
+                      "documented full-tunnel wedge.", file=sys.stderr)
+                return 3
             print("bench: TPU tunnel down — liveness probe / run failed for "
                   f"{_RETRY_WINDOW_S:.0f}s. This is the documented tunnel "
                   "wedge (CLAUDE.md 'Platform gotchas'), not a framework "
@@ -167,7 +178,11 @@ def main() -> None:
     cfg_t = Config(model=ModelConfig(num_classes=15,
                                      remat=batch_per_chip > 32, tome_r=16),
                    train=TrainConfig())
-    state_t = S.place_state(S.TrainState.create(params, seed=42), mesh)
+    # fresh init: `params` aliases buffers that the (donating) headline
+    # step deleted — reusing it raises "Array has been deleted" on real
+    # devices (donation is a no-op on CPU, so only chip runs hit it).
+    params_t = vit.init_params(jax.random.key(0), cfg_t.model)
+    state_t = S.place_state(S.TrainState.create(params_t, seed=42), mesh)
     step_t = S.jit_train_step(S.make_train_step(cfg_t, total_steps=10_000),
                               mesh, state_t)
     for _ in range(3):

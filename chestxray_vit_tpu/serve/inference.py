@@ -44,6 +44,10 @@ class Predictor:
     compiled device program per micro-batch shape.
     """
 
+    # forwards pull ONE array (logits; host sigmoid) — probes print this
+    # so measured rows self-identify the pull layout (BENCH_NOTES)
+    SINGLE_PULL = True
+
     def __init__(self, params, cfg: ModelConfig,
                  classes: Optional[Sequence[str]] = None,
                  batch_size: int = 8, canvas_size: int = 1024,
@@ -198,6 +202,11 @@ class Predictor:
 
         self.tome_r = int(tome_r or 0)
         self.tome_schedule = tome_schedule
+        # the compiled forwards return LOGITS only; probabilities are a
+        # [N, C] sigmoid the host does in ~µs. One output = ONE
+        # device→host pull per micro-batch — on this tunneled platform
+        # each pull is a ~33 ms round-trip, so the old (logits, probs)
+        # pair doubled the serving pull cost for no work saved.
         if self.tome_r:
             # opt-in speed/quality knob: merge r token pairs per layer
             # (models/tome_forward.py); composes with quantize.
@@ -206,22 +215,19 @@ class Predictor:
             from chestxray_vit_tpu.models.tome_forward import apply_tome
 
             def forward(p, *staged):
-                logits = apply_tome(p, images_of(staged), cfg,
-                                    self.tome_r, quantized=bool(quantize),
-                                    schedule=self.tome_schedule)
-                return logits, jax.nn.sigmoid(logits)
+                return apply_tome(p, images_of(staged), cfg,
+                                  self.tome_r, quantized=bool(quantize),
+                                  schedule=self.tome_schedule)
         elif quantize:
             def forward(qparams, *staged):
-                logits = apply_quantized(qparams, images_of(staged), cfg)
-                return logits, jax.nn.sigmoid(logits)
+                return apply_quantized(qparams, images_of(staged), cfg)
         else:
             def forward(params, *staged):
-                logits = vit.apply(params, images_of(staged), cfg)
-                return logits, jax.nn.sigmoid(logits)
+                return vit.apply(params, images_of(staged), cfg)
 
         def forward_rollout(params, *staged):
             logits, maps = am.compute_rollout(params, images_of(staged), cfg)
-            return logits, jax.nn.sigmoid(logits), maps
+            return logits, maps
 
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -419,16 +425,18 @@ class Predictor:
                        with_maps: bool = False) -> PredictOutput:
         """Device half of one micro-batch: run the compiled forward on
         operands from :meth:`stage_chunk` and pull the first ``valid``
-        rows to host (the pull is the synchronization point)."""
+        rows to host (the pull is the synchronization point). The
+        sigmoid runs on host — the forward pulls ONE array."""
         if with_maps:
-            logits, probs, maps = self._forward_rollout(self.params, *staged)
+            logits, maps = self._forward_rollout(self.params, *staged)
             maps_np = np.asarray(maps)[:valid]
         else:
-            logits, probs = self._forward(self._fwd_params, *staged)
+            logits = self._forward(self._fwd_params, *staged)
             maps_np = None
+        logits_np = np.asarray(logits)[:valid]
         return PredictOutput(
-            probs=np.asarray(probs)[:valid],
-            logits=np.asarray(logits)[:valid],
+            probs=1.0 / (1.0 + np.exp(-logits_np)),
+            logits=logits_np,
             classes=self.classes,
             maps=maps_np,
         )

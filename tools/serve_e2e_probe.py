@@ -77,7 +77,8 @@ def main() -> None:
     print(f"config: quantize={quantize} tome_r={tome_r} "
           f"batch={batch_size} cache={'on' if use_cache else 'OFF'} "
           f"decode={'native' if dec.native_available() else 'PIL'} "
-          f"pipeline={'on' if pipelined else 'off'}")
+          f"pipeline={'on' if pipelined else 'off'} "
+          f"pulls={1 if getattr(Predictor, 'SINGLE_PULL', False) else 2}")
     print(f"cold start: build {build_s:.1f}s + warmup(compile all "
           f"buckets) {warm_s:.1f}s", flush=True)
 
