@@ -132,11 +132,6 @@ def main() -> None:
                  train=TrainConfig())
 
     mesh = mesh_lib.build_mesh()
-    params = vit.init_params(jax.random.key(0), cfg.model)
-    state = S.TrainState.create(params, seed=42)
-    step = S.jit_train_step(S.make_train_step(cfg, total_steps=10_000),
-                            mesh, state)
-    state = S.place_state(state, mesh)
 
     rng = np.random.default_rng(0)
     b = batch_per_chip * n_chips
@@ -146,56 +141,56 @@ def main() -> None:
         "labels": jnp.asarray((rng.random((b, 15)) < 0.2), jnp.float32),
     })
 
-    # compile + warmup. NOTE: sync via a scalar host transfer each step —
-    # on this machine's tunneled PJRT platform, block_until_ready returns
-    # without waiting and deeply-enqueued async chains execute pathologically
-    # slowly, so per-step sync is both the only honest timing and the fast
-    # execution mode (see BENCH_NOTES.md).
-    for _ in range(3):
-        state, m = step(state, batch)
-        float(m["loss"])
+    def time_step(step_cfg: Config) -> float:
+        """img/s/chip for one train-step config, shared timing discipline.
 
-    # shallow pipelining: sync every 16 steps (deep queues are pathological
-    # on this platform; depth-16 is measured safe — 216 vs 214 img/s at
-    # depth 8 — and overlaps the ~33 ms dispatch round-trip; real training
-    # syncs at logging steps anyway).
-    iters = 32
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, m = step(state, batch)
-        if (i + 1) % 16 == 0:
+        Fresh params per config: the jitted step donates its state, so a
+        reused host tree raises "Array has been deleted" on real devices
+        (donation is a no-op on CPU — only chip runs catch aliasing).
+
+        Sync via a scalar host transfer — on this machine's tunneled PJRT
+        platform block_until_ready returns without waiting and deep async
+        queues run pathologically slowly, so scalar sync is both the only
+        honest timing and the fast execution mode. Shallow pipelining:
+        sync every 16 steps (measured safe; overlaps the ~33 ms dispatch
+        round-trip; real training syncs at logging steps anyway). See
+        BENCH_NOTES.md.
+        """
+        params = vit.init_params(jax.random.key(0), step_cfg.model)
+        state = S.place_state(S.TrainState.create(params, seed=42), mesh)
+        step = S.jit_train_step(
+            S.make_train_step(step_cfg, total_steps=10_000), mesh, state)
+        for _ in range(3):
+            state, m = step(state, batch)
             float(m["loss"])
-    float(m["loss"])
-    dt = (time.perf_counter() - t0) / iters
-
-    img_per_sec_chip = b / dt / n_chips
-
-    # Secondary driver-captured number: the accelerated train step
-    # (model.tome_r=16 — differentiable token merging, the round-4 train
-    # lever; r=16 is the paper's validated quality point, arXiv:2210.09461).
-    # Same batch, same timing discipline; reported as extra fields on the
-    # SAME single JSON line (contract preserved).
-    cfg_t = Config(model=ModelConfig(num_classes=15,
-                                     remat=batch_per_chip > 32, tome_r=16),
-                   train=TrainConfig())
-    # fresh init: `params` aliases buffers that the (donating) headline
-    # step deleted — reusing it raises "Array has been deleted" on real
-    # devices (donation is a no-op on CPU, so only chip runs hit it).
-    params_t = vit.init_params(jax.random.key(0), cfg_t.model)
-    state_t = S.place_state(S.TrainState.create(params_t, seed=42), mesh)
-    step_t = S.jit_train_step(S.make_train_step(cfg_t, total_steps=10_000),
-                              mesh, state_t)
-    for _ in range(3):
-        state_t, m = step_t(state_t, batch)
+        iters = 32
+        t0 = time.perf_counter()
+        for i in range(iters):
+            state, m = step(state, batch)
+            if (i + 1) % 16 == 0:
+                float(m["loss"])
         float(m["loss"])
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state_t, m = step_t(state_t, batch)
-        if (i + 1) % 16 == 0:
-            float(m["loss"])
-    float(m["loss"])
-    dt_t = (time.perf_counter() - t0) / iters
-    tome16_img_per_sec_chip = b / dt_t / n_chips
+        dt = (time.perf_counter() - t0) / iters
+        return b / dt / n_chips
+
+    img_per_sec_chip = time_step(cfg)
+
+    # Secondary driver-captured numbers, extra fields on the SAME single
+    # JSON line (contract preserved): the accelerated train steps.
+    # (a) model.tome_r=16 — differentiable token merging at the paper's
+    #     validated quality point (arXiv:2210.09461).
+    tome16_img_per_sec_chip = time_step(Config(
+        model=ModelConfig(num_classes=15, remat=batch_per_chip > 32,
+                          tome_r=16),
+        train=TrainConfig()))
+    # (b) the best measured recipe: r=32 with the decreasing schedule
+    #     (front-loaded merge budget — BENCH_NOTES "tome_schedule=
+    #     decreasing"; fidelity is the user's tradeoff, gated by
+    #     examples/finetune_nih.py --expect-tome-band on real data).
+    tome32d_img_per_sec_chip = time_step(Config(
+        model=ModelConfig(num_classes=15, remat=batch_per_chip > 32,
+                          tome_r=32, tome_schedule="decreasing"),
+        train=TrainConfig()))
     # Measured on this chip: the reference's configuration translated
     # literally (batch 8/core, stock XLA attention, no remat, per-step
     # sync) — tools/naive_baseline.py, 2026-08-16. See BENCH_NOTES.md.
@@ -219,6 +214,10 @@ def main() -> None:
         "tome16_value": round(tome16_img_per_sec_chip, 2),
         "tome16_vs_baseline": round(tome16_img_per_sec_chip /
                                     naive_baseline, 2),
+        # best measured train recipe (tome_r=32, decreasing schedule)
+        "tome32dec_value": round(tome32d_img_per_sec_chip, 2),
+        "tome32dec_vs_baseline": round(tome32d_img_per_sec_chip /
+                                       naive_baseline, 2),
     }))
 
 
