@@ -434,8 +434,10 @@ class Predictor:
             logits = self._forward(self._fwd_params, *staged)
             maps_np = None
         logits_np = np.asarray(logits)[:valid]
+        # overflow-free sigmoid: exp of a non-positive argument only
+        z = np.exp(-np.abs(logits_np))
         return PredictOutput(
-            probs=1.0 / (1.0 + np.exp(-logits_np)),
+            probs=np.where(logits_np >= 0, 1.0 / (1.0 + z), z / (1.0 + z)),
             logits=logits_np,
             classes=self.classes,
             maps=maps_np,

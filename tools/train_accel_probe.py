@@ -9,7 +9,9 @@ merging) pointed at the flat ~233 img/s train step (VERDICT r3 next
     python tools/train_accel_probe.py int8  [batch]        # int8-STE fwd
 
 Trailing ``remat=0/1`` overrides the batch>32 remat heuristic (merging
-shrinks activation memory — large-r steps may fit without remat).
+shrinks activation memory — large-r steps may fit without remat);
+``sched=decreasing`` picks the front-loaded merge schedule;
+``model=vit_l16`` / ``img=512`` select a VIT_VARIANTS config.
 
 Prints img/s/chip (per-step scalar sync, sync-16 window — timing
 discipline per BENCH_NOTES.md). Defaults: batch 36 (the measured dense
@@ -46,15 +48,24 @@ def main() -> None:
     # skip the recompute half of the backward)
     remat = bool(int(kv["remat"])) if "remat" in kv else batch > 32
     sched = kv.get("sched", "constant")   # constant | decreasing
+    variant = kv.get("model", "vit_b16")  # VIT_VARIANTS key
 
     enable_compilation_cache(os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".xla_cache"))
 
     n_chips = len(jax.devices())
-    cfg = Config(model=ModelConfig(num_classes=15, remat=remat,
-                                   tome_r=(r if mode == "tome" else 0),
-                                   tome_schedule=sched),
-                 train=TrainConfig())
+    img = int(kv.get("img", 384))
+    if variant != "vit_b16" or img != 384:
+        from chestxray_vit_tpu.config import vit_variant_config
+        mcfg = vit_variant_config(variant, img_size=img)  # L/H: remat
+        if "remat" in kv:
+            mcfg.remat = remat
+        remat = mcfg.remat
+    else:
+        mcfg = ModelConfig(num_classes=15, remat=remat)
+    mcfg.tome_r = r if mode == "tome" else 0
+    mcfg.tome_schedule = sched
+    cfg = Config(model=mcfg, train=TrainConfig())
 
     mesh = mesh_lib.build_mesh()
     params = vit.init_params(jax.random.key(0), cfg.model)
@@ -63,7 +74,8 @@ def main() -> None:
     b = batch * n_chips
     batch_data = mesh_lib.shard_batch(mesh, {
         "pixel_values": jnp.asarray(
-            rng.standard_normal((b, 384, 384, 3)), jnp.float32),
+            rng.standard_normal((b, mcfg.img_size, mcfg.img_size, 3)),
+            jnp.float32),
         "labels": jnp.asarray((rng.random((b, 15)) < 0.2), jnp.float32),
     })
 
@@ -102,7 +114,8 @@ def main() -> None:
     float(m["loss"])
     dt = (time.perf_counter() - t0) / iters
     ips = b / dt / n_chips
-    print(f"mode={mode} batch={batch}/chip"
+    print((f"model={variant} " if variant != "vit_b16" else "")
+          + f"mode={mode} batch={batch}/chip"
           + (f" r={r}" if mode == "tome" else "")
           + (f" sched={sched}" if sched != "constant" else "")
           + f" remat={int(remat)}"
