@@ -115,6 +115,7 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / iters
     ips = b / dt / n_chips
     print((f"model={variant} " if variant != "vit_b16" else "")
+          + (f"img={img} " if img != 384 else "")
           + f"mode={mode} batch={batch}/chip"
           + (f" r={r}" if mode == "tome" else "")
           + (f" sched={sched}" if sched != "constant" else "")
