@@ -248,3 +248,38 @@ def test_dcn_mesh_device_count_mismatch():
     with pytest.raises(ValueError, match="devices"):
         mesh_lib.build_mesh(MeshConfig(data=8, fsdp=1, tensor=1,
                                        dcn_data=2))
+
+
+def test_tome_train_step_on_sharded_meshes(rng):
+    """The accelerated train recipe (model.tome_r, decreasing schedule)
+    composes with fsdp- and tensor-sharded meshes: the jitted step
+    compiles over the 8-device mesh and matches single-device numerics.
+    Merging is per-sample (routing matmul inside the batch-sharded
+    forward), so no collective crosses the merge — this pins that XLA
+    partitions it that way instead of silently gathering."""
+    cfg = tiny_config()
+    cfg.model.tome_r = 2                 # 5 tokens: layer-2 count clamps
+    cfg.model.tome_schedule = "decreasing"
+    params = vit.init_params(jax.random.key(0), cfg.model)
+    state = S.TrainState.create(params, seed=0)
+    batch = make_batch(rng, 16, cfg)
+    ref_state, ref_m = jax.jit(S.make_train_step(cfg, 10))(
+        jax.tree.map(lambda x: x, state), batch)
+
+    for mesh_cfg in (MeshConfig(data=2, fsdp=4, tensor=1),
+                     MeshConfig(data=2, fsdp=1, tensor=4)):
+        mesh = mesh_lib.build_mesh(mesh_cfg)
+        # fresh state per mesh: the jitted step donates its input state,
+        # and place_state may alias the host tree's buffers
+        state_i = S.TrainState.create(
+            vit.init_params(jax.random.key(0), cfg.model), seed=0)
+        step = S.jit_train_step(S.make_train_step(cfg, total_steps=10),
+                                mesh, state_i)
+        st = S.place_state(state_i, mesh)
+        new_state, m = step(st, mesh_lib.shard_batch(mesh, batch))
+        np.testing.assert_allclose(float(m["loss"]), float(ref_m["loss"]),
+                                   atol=1e-5)
+        for a, b in zip(jax.tree.leaves(new_state.params),
+                        jax.tree.leaves(ref_state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
