@@ -32,13 +32,14 @@ except FileNotFoundError:
     pass
 
 
-def _run(tmp_path, tome_r: int = 0, keep_trainer: bool = False):
+def _run(tmp_path, tome_r: int = 0, tome_schedule: str = "constant",
+         keep_trainer: bool = False):
     cfg = Config(
         data=DataConfig(backend="memory", augment=True),
         model=ModelConfig(img_size=64, patch_size=16, hidden_size=64,
                           num_layers=4, num_heads=4, mlp_dim=256,
                           dtype="float32", attention_impl="xla",
-                          tome_r=tome_r),
+                          tome_r=tome_r, tome_schedule=tome_schedule),
         train=TrainConfig(batch_size_per_core=2, learning_rate=1e-3,
                           max_steps=20, eval_strategy="no",
                           save_strategy="steps", save_steps=10_000,
@@ -118,6 +119,27 @@ def test_golden_tome_trajectory(tmp_path):
                                rtol=5e-4)
     # the merged model genuinely trains: final loss well below initial
     assert losses[-1] < 0.75 * losses[0]
+
+
+def test_golden_tome_decreasing_trajectory(tmp_path):
+    """The decreasing schedule (the measured-best train recipe —
+    BENCH_NOTES 'tome_schedule=decreasing') gets its own pinned
+    trajectory: schedule-math or routing drift fails here even when the
+    constant-schedule pin stays green."""
+    assert GOLDEN.get("tome_dec_losses"), \
+        "tests/golden_run.json lacks tome_dec pins — tools/make_golden.py"
+    losses, ev = _run(tmp_path, tome_r=2, tome_schedule="decreasing")
+    assert len(losses) == 20
+    np.testing.assert_allclose(losses, GOLDEN["tome_dec_losses"], rtol=5e-4,
+                               err_msg="decreasing-schedule trajectory "
+                                       "drifted")
+    np.testing.assert_allclose(ev["avg_auroc"], GOLDEN["tome_dec_avg_auroc"],
+                               atol=5e-3)
+    np.testing.assert_allclose(ev["eval_loss"], GOLDEN["tome_dec_eval_loss"],
+                               rtol=5e-4)
+    assert losses[-1] < 0.75 * losses[0]
+    # and it genuinely differs from the constant schedule's pinned path
+    assert not np.allclose(losses, GOLDEN["tome_losses"], rtol=1e-6)
 
 
 def test_golden_accelerated_eval_agreement(tmp_path):

@@ -39,11 +39,17 @@ def main() -> int:
         tr.close()
     with tempfile.TemporaryDirectory() as td:
         tome_losses, tome_ev = _run(pathlib.Path(td), tome_r=2)
+    with tempfile.TemporaryDirectory() as td:
+        dec_losses, dec_ev = _run(pathlib.Path(td), tome_r=2,
+                                  tome_schedule="decreasing")
     out = {"losses": losses, "avg_auroc": ev["avg_auroc"],
            "eval_loss": ev["eval_loss"],
            "tome_losses": tome_losses,
            "tome_avg_auroc": tome_ev["avg_auroc"],
            "tome_eval_loss": tome_ev["eval_loss"],
+           "tome_dec_losses": dec_losses,
+           "tome_dec_avg_auroc": dec_ev["avg_auroc"],
+           "tome_dec_eval_loss": dec_ev["eval_loss"],
            "agreement": agreement}
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tests", "golden_run.json")
