@@ -385,7 +385,8 @@ class Predictor:
             if with_maps:
                 np.asarray(self._forward_rollout(self.params, *staged)[0])
             else:
-                np.asarray(self._forward(self._fwd_params, *staged)[0])
+                # single-pull forward returns the logits array itself
+                np.asarray(self._forward(self._fwd_params, *staged))
 
     def _bucket(self, valid: int, bs: int) -> int:
         """Smallest power-of-two batch ≥ valid (clamped to bs): partial
