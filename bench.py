@@ -60,7 +60,7 @@ def _probe_alive() -> bool:
 def supervise(argv: list) -> int:
     deadline = time.monotonic() + _RETRY_WINDOW_S
     attempt = 0
-    probe_ok = False
+    child_failed_while_alive = False   # sticky across attempts
     while True:
         attempt += 1
         probe_ok = _probe_alive()
@@ -80,19 +80,23 @@ def supervise(argv: list) -> int:
                         print(line)
                         return 0
                 print("bench: child produced no JSON line", file=sys.stderr)
+                child_failed_while_alive = True
             elif r is not None:
                 print(f"bench: run failed rc={r.returncode}",
                       file=sys.stderr)
+                child_failed_while_alive = True
         else:
             print(f"bench: liveness probe {attempt} failed "
                   "(tiny matmul did not complete)", file=sys.stderr)
         if time.monotonic() >= deadline:
-            if probe_ok:
-                # The chip answers the tiny-matmul probe but the benchmark
-                # child keeps failing: that is NOT the tunnel wedge — the
-                # child's traceback is on stderr above. Surface it as such.
-                print("bench: benchmark child failed repeatedly while the "
-                      "liveness probe passed — see the traceback above "
+            if child_failed_while_alive:
+                # At least once the chip answered the tiny-matmul probe but
+                # the benchmark child still failed: that is NOT the tunnel
+                # wedge — the child's output is on stderr above. Sticky so a
+                # transient probe blip on the final attempt can't relabel a
+                # framework error as a tunnel problem.
+                print("bench: benchmark child failed while the liveness "
+                      "probe passed — see the child output above "
                       "(framework error or mid-run wedge), not the "
                       "documented full-tunnel wedge.", file=sys.stderr)
                 return 3

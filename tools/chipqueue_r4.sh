@@ -4,18 +4,7 @@
 # a hard timeout; logs to .chiplog/NN_name.log. Safe to re-run: finished
 # jobs are skipped via their .done marker.
 cd /root/repo
-mkdir -p .chiplog
-run() {
-  local name="$1"; shift
-  local tmo="$1"; shift
-  if [ -f ".chiplog/${name}.done" ]; then echo "SKIP ${name}"; return; fi
-  echo "=== ${name}: $* (timeout ${tmo}s) $(date -u +%H:%M:%S)"
-  if timeout "${tmo}" "$@" > ".chiplog/${name}.log" 2>&1; then
-    touch ".chiplog/${name}.done"; echo "OK  ${name}"
-  else
-    echo "FAIL ${name} rc=$?"
-  fi
-}
+. tools/chipqueue_lib.sh
 
 # --- train-step levers (VERDICT r3 #2/#3) — the round-4 headline work
 run 01_train_dense   1800 python tools/train_accel_probe.py dense 36

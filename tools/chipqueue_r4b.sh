@@ -4,18 +4,7 @@
 # e2e serving, and validation of bench.py's new tome16 fields.
 # Run AFTER chipqueue_r4.sh. Same .done-marker resume discipline.
 cd /root/repo
-mkdir -p .chiplog
-run() {
-  local name="$1"; shift
-  local tmo="$1"; shift
-  if [ -f ".chiplog/${name}.done" ]; then echo "SKIP ${name}"; return; fi
-  echo "=== ${name}: $* (timeout ${tmo}s) $(date -u +%H:%M:%S)"
-  if timeout "${tmo}" "$@" > ".chiplog/${name}.log" 2>&1; then
-    touch ".chiplog/${name}.done"; echo "OK  ${name}"
-  else
-    echo "FAIL ${name} rc=$?"
-  fi
-}
+. tools/chipqueue_lib.sh
 
 run 20_tome32_noremat  1800 python tools/train_accel_probe.py tome 36 32 remat=0
 run 21_tome32_b48      1800 python tools/train_accel_probe.py tome 48 32

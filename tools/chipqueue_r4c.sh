@@ -5,18 +5,7 @@
 # single host core with a CPU bench — BENCH_NOTES timing discipline).
 # Same .done-marker resume discipline; run AFTER chipqueue_r4b.sh.
 cd /root/repo
-mkdir -p .chiplog
-run() {
-  local name="$1"; shift
-  local tmo="$1"; shift
-  if [ -f ".chiplog/${name}.done" ]; then echo "SKIP ${name}"; return; fi
-  echo "=== ${name}: $* (timeout ${tmo}s) $(date -u +%H:%M:%S)"
-  if timeout "${tmo}" "$@" > ".chiplog/${name}.log" 2>&1; then
-    touch ".chiplog/${name}.done"; echo "OK  ${name}"
-  else
-    echo "FAIL ${name} rc=$?"
-  fi
-}
+. tools/chipqueue_lib.sh
 
 run 40_train_t32_dec   1800 python tools/train_accel_probe.py tome 36 32 sched=decreasing
 run 41_train_t16_dec   1800 python tools/train_accel_probe.py tome 36 16 sched=decreasing

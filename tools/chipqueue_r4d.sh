@@ -5,18 +5,7 @@
 # resume discipline; run only when no CPU-heavy job shares the host
 # (BENCH_NOTES timing discipline).
 cd /root/repo
-mkdir -p .chiplog
-run() {
-  local name="$1"; shift
-  local tmo="$1"; shift
-  if [ -f ".chiplog/${name}.done" ]; then echo "SKIP ${name}"; return; fi
-  echo "=== ${name}: $* (timeout ${tmo}s) $(date -u +%H:%M:%S)"
-  if timeout "${tmo}" "$@" > ".chiplog/${name}.log" 2>&1; then
-    touch ".chiplog/${name}.done"; echo "OK  ${name}"
-  else
-    echo "FAIL ${name} rc=$?"
-  fi
-}
+. tools/chipqueue_lib.sh
 
 run 51_train_t24_dec   1800 python tools/train_accel_probe.py tome 36 24 sched=decreasing
 run 52_vitl_dense      2400 python tools/train_accel_probe.py dense 24 model=vit_l16

@@ -90,10 +90,13 @@ def main() -> None:
         staged = pred._stage([png] * batch_size, 0)
     stage_ms = (time.perf_counter() - t0) / iters * 1e3
     staged_dev = tuple(jnp.asarray(a) for a in staged)
-    np.asarray(pred._forward(pred._fwd_params, *staged_dev)[0])  # warm
+    # single-pull forward returns the logits array; pull the WHOLE batch
+    # (indexing [0] would time a row-0 pull — same round-trip latency,
+    # but not the transfer the label claims)
+    np.asarray(pred._forward(pred._fwd_params, *staged_dev))  # warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        np.asarray(pred._forward(pred._fwd_params, *staged_dev)[0])
+        np.asarray(pred._forward(pred._fwd_params, *staged_dev))
     fwd_ms = (time.perf_counter() - t0) / iters * 1e3
     t0 = time.perf_counter()
     for _ in range(iters):

@@ -57,9 +57,13 @@ def main() -> None:
     img = int(kv.get("img", 384))
     if variant != "vit_b16" or img != 384:
         from chestxray_vit_tpu.config import vit_variant_config
-        mcfg = vit_variant_config(variant, img_size=img)  # L/H: remat
-        if "remat" in kv:
+        mcfg = vit_variant_config(variant, img_size=img)
+        if "remat" in kv:                  # explicit kv always wins
             mcfg.remat = remat
+        else:
+            # variant default (L/H) OR the batch heuristic OR high-res:
+            # @512 dense at b32 measures 67.8 G unrematerialized (OOM)
+            mcfg.remat = mcfg.remat or batch > 32 or img > 384
         remat = mcfg.remat
     else:
         mcfg = ModelConfig(num_classes=15, remat=remat)
