@@ -73,6 +73,7 @@ def supervise(argv: list) -> int:
                 print(f"bench: run timed out after {_RUN_TIMEOUT_S}s "
                       "(tunnel wedged mid-run)", file=sys.stderr)
                 r = None
+                child_failed_while_alive = True   # probe passed this attempt
             if r is not None and r.returncode == 0:
                 # Contract: exactly one JSON line on stdout.
                 for line in r.stdout.splitlines():
