@@ -37,17 +37,21 @@ def r_schedule(r: int, num_layers: int, schedule: str = "constant"
     """Per-layer merge counts for a nominal rate ``r``.
 
     - 'constant': r pairs every layer (the paper's default).
-    - 'decreasing': linearly decaying counts with the SAME total merged
-      tokens (r·L), weighted ∝ (L−l) — most merging in early layers where
+    - 'decreasing': linearly decaying counts with the SAME nominal total
+      (r·L), weighted ∝ (L−l) — most merging in early layers where
       tokens are redundant and plentiful, tapering toward zero at depth.
-      The paper's decreasing schedule (arXiv:2210.09461 §4.1) avoids the
-      per-layer clamp floor that constant-r hits on deep models (e.g.
-      ViT-L at r=32: 24·32 = 768 ≥ the 576 patch tokens), and front-loads
-      the token reduction where the most compute remains downstream.
+      The paper's decreasing schedule (arXiv:2210.09461 §4.1) front-loads
+      the token reduction where the most compute remains downstream, so
+      more of the budget is feasible before the per-layer clamp binds
+      than under constant-r on deep models.
 
     The forwards still clamp each layer to the feasible maximum
-    (ceil(S_l/2) − 1), so an infeasible early-layer count degrades
-    gracefully instead of erroring.
+    (ceil(S_l/2) − 1), so an infeasible count degrades gracefully instead
+    of erroring. NOTE the clamp means the r·L total is realized only when
+    every per-layer count stays feasible: when the budget exceeds the
+    mergeable-token supply (e.g. ViT-L at r=32: 24·32 = 768 > the 576
+    patch tokens), BOTH schedules clamp — decreasing just realizes more
+    of the budget, earlier.
     """
     if r < 0:
         raise ValueError(f"r={r} must be >= 0")
