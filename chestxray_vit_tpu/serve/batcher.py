@@ -16,8 +16,8 @@ thread runs the compiled forward and resolves futures
 (``Predictor.forward_staged``). Staging of group N+1 overlaps the device
 forward of group N, so sustained throughput is max(stage, fwd) instead of
 stage+fwd — on a host-decode-bound box that is most of the win. A bounded
-hand-off queue (depth 2) keeps at most two groups in flight, so latency
-and device memory stay bounded. ``pipeline=False`` (or env
+hand-off queue (depth 2, so up to three staged groups hold device memory:
+two queued + one being forwarded) keeps latency and memory bounded. ``pipeline=False`` (or env
 ``CXR_SERVE_PIPELINE=0``) runs both halves on the stager thread —
 the round-3 serialized behavior, kept for A/B measurement.
 """
@@ -59,8 +59,9 @@ class MicroBatcher:
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
         self._lock = threading.Lock()
-        # bounded hand-off: at most 2 staged groups in flight (one on the
-        # device, one staged and waiting) — backpressure onto the stager
+        # bounded hand-off (maxsize=2): up to THREE staged groups can hold
+        # device memory concurrently — two queued plus the one the device
+        # thread already dequeued — backpressure onto the stager
         self._devq: "queue.Queue" = queue.Queue(maxsize=2)
         self._dev_thread: Optional[threading.Thread] = None
         if self.pipeline:
@@ -157,6 +158,22 @@ class MicroBatcher:
             for r in sub:
                 r.future.set_exception(e)
 
+    def _put_dev(self, item) -> bool:
+        """Backpressured hand-off that cannot deadlock shutdown: a plain
+        blocking put would wedge the stager forever when the device thread
+        is stuck in a hung forward (this platform's documented failure
+        mode is a wedged tunnel) — then close()'s drain runs BEFORE the
+        put lands and that group's futures never resolve, hanging every
+        caller blocked in predict(). Poll with a short timeout and bail
+        once close() has been signalled; the caller fails the futures."""
+        while True:
+            try:
+                self._devq.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                if self._closed:
+                    return False
+
     def _run(self) -> None:
         """Stager: collect a group, run the host half, hand the staged
         operands to the device thread (or run inline when pipeline=off)."""
@@ -164,7 +181,7 @@ class MicroBatcher:
             item = self._q.get()
             if item is None:
                 if self._dev_thread is not None:
-                    self._devq.put(None)   # propagate shutdown downstream
+                    self._put_dev(None)    # propagate shutdown downstream
                 return
             group = self._collect(item)
             for flag in (False, True):
@@ -179,7 +196,10 @@ class MicroBatcher:
                         r.future.set_exception(e)
                     continue
                 if self._dev_thread is not None:
-                    self._devq.put((sub, flag, staged))   # backpressured
+                    if not self._put_dev((sub, flag, staged)):
+                        for r in sub:
+                            r.future.set_exception(
+                                RuntimeError("batcher is closed"))
                 else:
                     self._resolve(sub, flag, staged)
 

@@ -412,3 +412,49 @@ def test_static_synthetic_calibration_warns_and_opts_in(capsys):
                      calibration=imgs)
     assert "WARNING" not in capsys.readouterr().err
     assert "act" in pred._qparams["blocks"]
+
+
+def test_microbatcher_close_with_wedged_device_fails_futures():
+    """close() must resolve EVERY in-flight future even when the device
+    thread is wedged inside a hung forward (this platform's documented
+    failure mode: the tunnel wedges for hours). Before the fix the stager
+    could block forever in the hand-off queue's put() — close()'s drain
+    ran before the put landed, so that group's futures never resolved and
+    callers blocked in predict() hung forever (ADVICE r4)."""
+    import threading
+    import time
+
+    from chestxray_vit_tpu.serve.batcher import MicroBatcher
+
+    release = threading.Event()
+    forwards_started = threading.Event()
+
+    class WedgedPredictor:
+        batch_size = 1
+
+        def stage_chunk(self, chunk):
+            return ("staged", len(chunk))
+
+        def forward_staged(self, staged, valid, with_maps=False):
+            forwards_started.set()
+            release.wait(timeout=60)   # simulate a wedged tunnel dispatch
+            raise RuntimeError("wedged")
+
+    batcher = MicroBatcher(WedgedPredictor(), max_wait_ms=1.0,
+                           pipeline=True)
+    # 5 single-request groups: one wedged in the device thread, two queued
+    # in the hand-off queue, one blocking the stager's put, one queued
+    futs = [batcher.submit(b"x") for _ in range(5)]
+    assert forwards_started.wait(timeout=10)
+    time.sleep(0.3)                    # let the stager reach the full put
+
+    t0 = time.monotonic()
+    batcher.close()                    # must NOT hang
+    assert time.monotonic() - t0 < 30
+    # the group INSIDE the wedged forward can only resolve when the
+    # forward returns — unwedge it; every other group must already have
+    # been failed by close()/the stager's closed-aware hand-off
+    release.set()
+    for f in futs:
+        with pytest.raises(RuntimeError):
+            f.result(timeout=10)       # resolved (exception), not hung
