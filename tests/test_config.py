@@ -149,3 +149,29 @@ def test_model_config_validates_tiling():
     assert m.num_patches == 28 * 28
     with _pytest.raises(ValueError, match="num_heads"):
         ModelConfig(hidden_size=100, num_heads=12)
+
+
+def test_fast_finetune_preset_pins_measured_best_recipe():
+    """--preset fast_finetune is the measured-best train recipe as one
+    flag (VERDICT r4 next #2): version_b's optimization surface + the
+    chip-measured throughput levers, value-pinned like version_a/b."""
+    from chestxray_vit_tpu.config import fast_finetune_config, parse_cli
+
+    cfg = fast_finetune_config()
+    b = version_b_config()
+    # the throughput levers (BENCH_NOTES "tome_schedule=decreasing")
+    assert cfg.model.tome_r == 16
+    assert cfg.model.tome_schedule == "decreasing"
+    assert cfg.model.remat is True
+    assert cfg.train.batch_size_per_core == 36
+    # the optimization surface stays version_b's (pyc L438-L456)
+    assert cfg.train.learning_rate == b.train.learning_rate
+    assert cfg.train.weight_decay == b.train.weight_decay
+    assert cfg.train.num_epochs == b.train.num_epochs
+    assert cfg.train.metric_for_best_model == "avg_auroc"
+    assert cfg.model.img_size == 384 and cfg.model.num_classes == 15
+
+    # reachable from the CLI, and --set still overrides on top
+    cli = parse_cli(["--preset", "fast_finetune",
+                     "--set", "model.tome_r=32"])
+    assert cli.model.tome_r == 32 and cli.model.tome_schedule == "decreasing"

@@ -458,3 +458,65 @@ def test_microbatcher_close_with_wedged_device_fails_futures():
     for f in futs:
         with pytest.raises(RuntimeError):
             f.result(timeout=10)       # resolved (exception), not hung
+
+
+def test_serve_preset_fast_serve_expands_and_flags_override():
+    """--preset fast_serve pins the measured b>=32 accel shape
+    (BENCH_NOTES 'Serving e2e'); explicit flags win over the preset."""
+    from chestxray_vit_tpu.serve.server import SERVE_PRESETS
+
+    assert SERVE_PRESETS["fast_serve"] == {
+        "batch_size": 32, "quantize": "static", "tome_r": 16,
+        "tome_schedule": "decreasing"}
+
+    # exercise the expansion logic through parse_args the way main() does
+    import argparse
+
+    from chestxray_vit_tpu.serve import server as srv
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", choices=("fast_serve",), default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--quantize", nargs="?", const="dynamic",
+                    choices=("dynamic", "static"), default=None)
+    ap.add_argument("--tome-r", type=int, default=None)
+    ap.add_argument("--tome-schedule",
+                    choices=("constant", "decreasing"), default=None)
+
+    def resolve(argv):
+        ns = ap.parse_args(argv)
+        preset = srv.SERVE_PRESETS.get(ns.preset, {})
+        return (ns.batch_size if ns.batch_size is not None
+                else preset.get("batch_size", 8),
+                ns.quantize if ns.quantize is not None
+                else preset.get("quantize"),
+                ns.tome_r if ns.tome_r is not None
+                else preset.get("tome_r", 0),
+                ns.tome_schedule if ns.tome_schedule is not None
+                else preset.get("tome_schedule", "constant"))
+
+    assert resolve([]) == (8, None, 0, "constant")
+    assert resolve(["--preset", "fast_serve"]) == (
+        32, "static", 16, "decreasing")
+    assert resolve(["--preset", "fast_serve", "--tome-r", "0",
+                    "--batch-size", "64"]) == (
+        64, "static", 0, "decreasing")
+
+
+def test_predictor_small_batch_accel_guidance(capsys):
+    """The measured crossover is enforced at runtime (VERDICT r4 #5): an
+    accel stack at batch < 16 prints the measured guidance; bf16 small
+    batch and accel at b>=32 stay silent."""
+    cfg = tiny_cfg()
+    params = vit.init_params(jax.random.key(0), cfg)
+
+    Predictor(params, cfg, batch_size=8, quantize="dynamic")
+    assert "SLOWER" in capsys.readouterr().err
+
+    Predictor(params, cfg, batch_size=8, tome_r=2)
+    assert "SLOWER" in capsys.readouterr().err
+
+    Predictor(params, cfg, batch_size=8)                 # plain bf16: quiet
+    assert "SLOWER" not in capsys.readouterr().err
+
+    Predictor(params, cfg, batch_size=32, quantize="dynamic")
+    assert "SLOWER" not in capsys.readouterr().err
