@@ -57,6 +57,70 @@ def _render_image(rng: np.random.Generator, labels: Sequence[str],
     return img
 
 
+def render_array_dataset(
+    num_images: int,
+    image_size: int = 384,
+    seed: int = 0,
+    *,
+    block_px: Optional[int] = None,
+    contrast: int = 40,
+    jitter: int = 24,
+    no_finding_fraction: float = 0.3,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """HARD-mode synthetic NIH task as raw arrays (no PNG round-trip).
+
+    The bucket fixture above renders large high-contrast blocks — a model
+    saturates AUROC≈1.0 in a few hundred steps, which makes it useless for
+    *quality* A/Bs (any lossy accelerator also scores 1.0). This variant is
+    deliberately harder so fidelity differences are measurable (the
+    token-merging convergence A/B, VERDICT r4 next #1):
+
+    - blocks are small (default ~1.5 patches at 384/16) and low-contrast
+      (``contrast`` added onto the 20..60 noise background, not set to 220);
+    - block positions jitter ±``jitter`` px per image around the
+      class-specific anchor, so the model must localize, not memorize a
+      fixed pixel.
+
+    Returns ``(images u8 [N, S, S], labels f32 [N, 15])`` over the sorted
+    15-class NIH vocabulary (pyc L152-L157), 'No Finding' multi-hot like
+    the reference's label engine.
+    """
+    from chestxray_vit_tpu.config import NIH_CLASSES
+
+    rng = np.random.default_rng(seed)
+    n_path = len(PATHOLOGIES)
+    side = block_px if block_px is not None else max(image_size // 16, 4) + 8
+    images = rng.integers(20, 60, (num_images, image_size, image_size),
+                          dtype=np.uint8)
+    labels = np.zeros((num_images, len(NIH_CLASSES)), np.float32)
+    nf_col = NIH_CLASSES.index("No Finding")
+    col_of = {c: NIH_CLASSES.index(c) for c in PATHOLOGIES}
+
+    cell = max(image_size // n_path, side + 1)
+    for i in range(num_images):
+        if i >= n_path and rng.random() < no_finding_fraction:
+            labels[i, nf_col] = 1.0
+            continue
+        if i < n_path:
+            ks = [i]              # guarantee every pathology occurs
+        else:
+            ks = sorted(rng.choice(n_path, size=int(rng.integers(1, 3)),
+                                   replace=False))
+        for k in ks:
+            labels[i, col_of[PATHOLOGIES[k]]] = 1.0
+            y0 = (k * cell) % max(image_size - side, 1)
+            x0 = ((k * 37) % n_path) * cell % max(image_size - side, 1)
+            if jitter:
+                y0 = int(np.clip(y0 + rng.integers(-jitter, jitter + 1),
+                                 0, image_size - side))
+                x0 = int(np.clip(x0 + rng.integers(-jitter, jitter + 1),
+                                 0, image_size - side))
+            region = images[i, y0:y0 + side, x0:x0 + side].astype(np.int32)
+            images[i, y0:y0 + side, x0:x0 + side] = np.clip(
+                region + contrast, 0, 255).astype(np.uint8)
+    return images, labels
+
+
 def build_fake_nih(
     num_images: int = 64,
     image_size: int = 64,
