@@ -1,0 +1,141 @@
+"""CI gate at the recommended token-merging budget (VERDICT r4 next #1
+done-criterion: "a CI gate at the recommended budget, not just r=2").
+
+These tests pin the CONCLUSIONS of BENCH_NOTES "Round 5: convergence-level
+quality A/B" against the committed chip-measured data in
+BENCH_QUALITY_AB.jsonl, and tie the shipped `fast_finetune` preset to the
+budget that data recommends. If cells are re-run and the data stops
+supporting the documented bands, or the preset drifts away from the
+measured recommendation, CI fails — notes, data, and defaults must move
+together.
+
+Reference capability matched: a fine-tune whose point is the AUC it
+reaches (ViT-Training.py:132, pyc:L320-L355) — a throughput recipe is
+only shippable with a quality bound attached.
+"""
+
+import json
+import os
+
+import pytest
+
+from chestxray_vit_tpu.config import _PRESETS
+
+_PATH = os.path.join(os.path.dirname(__file__), os.pardir,
+                     "BENCH_QUALITY_AB.jsonl")
+
+
+def _cells():
+    rows = []
+    with open(_PATH) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    # The A/B science band: the hard task at ViT-B depth. Other rows
+    # (depth probes at layers!=12, easier contrasts) have their own gates.
+    return [r for r in rows
+            if r.get("layers") == 12 and r.get("contrast") == 80]
+
+
+@pytest.fixture(scope="module")
+def cells():
+    rows = _cells()
+    assert rows, "BENCH_QUALITY_AB.jsonl missing or has no 12-layer " \
+                 "contrast=80 cells"
+    return rows
+
+
+def _best(cells, **match):
+    out = [c for c in cells
+           if all(c.get(k) == v for k, v in match.items())]
+    assert out, f"no quality cell matches {match}"
+    return out
+
+
+def test_required_cells_present(cells):
+    """The documented table's cells all exist in the committed data."""
+    need = [
+        dict(cell="dense", steps=2400),
+        dict(tome_r=8, schedule="constant", steps=2400),
+        dict(tome_r=8, schedule="decreasing", steps=2400),
+        dict(tome_r=16, schedule="constant", steps=2400),
+        dict(tome_r=16, schedule="decreasing", steps=2400),
+        dict(tome_r=32, schedule="constant", steps=2400),
+        dict(tome_r=32, schedule="decreasing", steps=2400),
+        dict(tome_r=48, schedule="decreasing", steps=2400),
+        # extended-steps plateau bounds
+        dict(cell="dense", steps=4800),
+        dict(tome_r=16, schedule="decreasing", steps=4800),
+        dict(tome_r=32, schedule="decreasing", steps=4800),
+    ]
+    for m in need:
+        _best(cells, **m)
+
+
+def test_dense_plateau_band(cells):
+    """Dense converges on the hard task (>=0.985 best avg_auroc in every
+    dense cell) — the anchor all merged deltas are read against."""
+    for c in _best(cells, tome_r=0):
+        assert c["best_auroc"] >= 0.985, c
+
+
+def test_recommended_budget_reproducible_plateau(cells):
+    """The shipped default (r=16 decreasing): plateau in [0.915, 0.945]
+    and reproducible across schedule lengths within 1 pt — the property
+    that made it the recommendation over r=32."""
+    best = [c["best_auroc"]
+            for c in _best(cells, tome_r=16, schedule="decreasing")]
+    assert all(0.915 <= b <= 0.945 for b in best), best
+    assert max(best) - min(best) <= 0.01, best
+
+
+def test_headline_budget_band(cells):
+    """r=32 decreasing (the 2.1x opt-in speed row): every cell must stay
+    >=0.88 — below that the 'plateau is real, just noisier' claim (and
+    the README guidance built on it) no longer holds."""
+    for c in _best(cells, tome_r=32, schedule="decreasing"):
+        assert c["best_auroc"] >= 0.88, c
+
+
+def test_decreasing_schedule_is_a_quality_lever(cells):
+    """At the headline budgets the decreasing schedule must beat constant
+    by >=5 pts at equal steps (BENCH_NOTES finding #3)."""
+    for r in (16, 32):
+        dec = max(c["best_auroc"] for c in _best(
+            cells, tome_r=r, schedule="decreasing", steps=2400))
+        const = max(c["best_auroc"] for c in _best(
+            cells, tome_r=r, schedule="constant", steps=2400))
+        assert dec - const >= 0.05, (r, dec, const)
+
+
+def test_gap_lives_in_the_weights_not_the_eval(cells):
+    """Merged-eval vs dense-eval of the SAME trained weights agree within
+    2.5 pts wherever both tracks were recorded (BENCH_NOTES finding #1:
+    'train merged, serve dense' does not recover dense quality)."""
+    tracked = [c for c in cells if "best_dense_auroc" in c]
+    assert tracked, "no cells carry the dense-eval track"
+    for c in tracked:
+        assert abs(c["best_auroc"] - c["best_dense_auroc"]) <= 0.025, c
+
+
+def test_preset_matches_measured_recommendation(cells):
+    """fast_finetune ships the budget the data recommends: the largest
+    measured budget whose plateau is reproducible (<=1 pt spread across
+    schedule lengths) AND within 8 pts of dense. Today that is r=16
+    decreasing; if new cells change the winner, move the preset WITH the
+    data."""
+    cfg = _PRESETS["fast_finetune"]()
+    assert cfg.model.tome_schedule == "decreasing"
+    dense = max(c["best_auroc"] for c in _best(cells, tome_r=0))
+    by_r = {}
+    for c in cells:
+        if c["tome_r"] > 0 and c["schedule"] == "decreasing":
+            by_r.setdefault(c["tome_r"], []).append(c["best_auroc"])
+    qualifying = [r for r, vals in by_r.items()
+                  if max(vals) - min(vals) <= 0.01
+                  and min(vals) >= dense - 0.08]
+    assert qualifying, "no merged budget qualifies — preset must go dense"
+    assert cfg.model.tome_r == max(qualifying), (
+        f"preset tome_r={cfg.model.tome_r} but the data recommends "
+        f"{max(qualifying)} (qualifying budgets: {sorted(qualifying)})")

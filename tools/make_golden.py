@@ -42,6 +42,10 @@ def main() -> int:
     with tempfile.TemporaryDirectory() as td:
         dec_losses, dec_ev = _run(pathlib.Path(td), tome_r=2,
                                   tome_schedule="decreasing")
+    with tempfile.TemporaryDirectory() as td:
+        deep_losses, deep_ev = _run(pathlib.Path(td), tome_r=1,
+                                    tome_schedule="decreasing",
+                                    num_layers=32)
     out = {"losses": losses, "avg_auroc": ev["avg_auroc"],
            "eval_loss": ev["eval_loss"],
            "tome_losses": tome_losses,
@@ -50,6 +54,9 @@ def main() -> int:
            "tome_dec_losses": dec_losses,
            "tome_dec_avg_auroc": dec_ev["avg_auroc"],
            "tome_dec_eval_loss": dec_ev["eval_loss"],
+           "deep_losses": deep_losses,
+           "deep_avg_auroc": deep_ev["avg_auroc"],
+           "deep_eval_loss": deep_ev["eval_loss"],
            "agreement": agreement}
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tests", "golden_run.json")
