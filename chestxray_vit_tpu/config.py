@@ -445,12 +445,14 @@ def fast_finetune_config() -> Config:
     decreasing schedule (BENCH_NOTES "tome_schedule=decreasing": r=32
     decreasing = 494.5 img/s/chip, 2.1x the dense step; r=16 = 355.7).
 
-    Ships with tome_r=16 — the paper's quality band for ViT-B
-    (arXiv:2210.09461 uses r=16 at ≤0.4-pt ImageNet cost) and the
-    conservative end of the measured sweep. The quality A/B on the owned
-    hard synthetic task (BENCH_NOTES "token-merging quality A/B") bounds
-    what larger budgets cost; raise to 32 for the 2.1x step speed after
-    validating on your data (`examples/finetune_nih.py
+    Ships with tome_r=16 decreasing — the only merged budget whose
+    converged quality REPRODUCES in the owned convergence A/B
+    (BENCH_NOTES Round 5: plateau 0.925-0.927 across schedule lengths on
+    the hard synthetic task, 4-7 pts under dense; gated in
+    tests/test_quality_band.py). r=32 decreasing is 2.1x the dense step
+    but init-sensitive at convergence (0.82-0.95 across inits) — raise
+    to 32 only for throughput-bound exploration, and validate final
+    models on your data (`examples/finetune_nih.py
     --expect-tome-band`)."""
     cfg = version_b_config()
     cfg.model.remat = True

