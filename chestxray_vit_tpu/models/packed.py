@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Sequence, Tuple
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 from chestxray_vit_tpu.config import ModelConfig
@@ -37,7 +38,7 @@ def build_pos_table(params, cfg: ModelConfig,
 
 
 def _packed_mha(x, bp, cfg: ModelConfig, seg_ids, dropout_rng=None,
-                train: bool = False):
+                train: bool = False, return_key_mean: bool = False):
     b, s, d = x.shape
     h, hd = cfg.num_heads, cfg.head_dim
 
@@ -80,8 +81,11 @@ def _packed_mha(x, bp, cfg: ModelConfig, seg_ids, dropout_rng=None,
     else:
         o = attention_xla_packed(q, k, v, seg_ids)
     # heads-merge folded into the output projection
-    return (jnp.einsum("bhsk,hkd->bsd", o, bp["wo"]["kernel"].reshape(h, hd, d))
-            + bp["wo"]["bias"])
+    out = (jnp.einsum("bhsk,hkd->bsd", o, bp["wo"]["kernel"].reshape(h, hd, d))
+           + bp["wo"]["bias"])
+    if return_key_mean:
+        return out, k.mean(axis=1)      # [B, S, hd] ToMe metric
+    return out
 
 
 def apply_packed(params, tokens: jax.Array, segment_ids: jax.Array,
@@ -138,6 +142,99 @@ def apply_packed(params, tokens: jax.Array, segment_ids: jax.Array,
     head = params["head"]
     return (jnp.dot(pooled, head["kernel"].astype(jnp.float32))
             + head["bias"].astype(jnp.float32))         # [B, M, C]
+
+
+def apply_packed_tome(params, tokens: jax.Array, segment_ids: jax.Array,
+                      pos_indices: jax.Array, pool_weights: jax.Array,
+                      cfg: ModelConfig, grids: Sequence[int] = (16, 24, 32),
+                      *, train: bool = False, rng=None) -> jax.Array:
+    """Packed forward with WITHIN-SEGMENT token merging (``model.tome_r``
+    on the packed path — extends the measured train lever to
+    variable-resolution training; VERDICT r4 next #7).
+
+    The packed counterpart of ``tome_forward.apply_tome_train``: after
+    every attention block, ``ops.tome.tome_merge_packed`` merges the r_l
+    most similar same-segment token pairs, routing the segment ids and
+    per-image pooling weights through the same one-hot matmul so the
+    segment-masked attention of later layers and the final masked-mean
+    readout stay exact. Padding tokens (identical zeroed embeddings,
+    segment −1) have pairwise similarity 1.0 and are merged first —
+    sequences with much padding shed it before any real content merges.
+
+    Token counts shrink per layer → per-layer shapes → a python-unrolled
+    loop with per-block ``jax.checkpoint`` (same remat policies as
+    ``vit.apply``) instead of the scan. Differentiable: gradients flow
+    through the size-weighted merge means; the matching is
+    piecewise-constant, exactly the dense train formulation.
+    """
+    r = cfg.tome_r
+    if r <= 0:
+        raise ValueError(f"tome r={r} must be positive (use apply_packed "
+                         f"for the un-merged path)")
+    if cfg.fused_qkv:
+        raise ValueError("model.fused_qkv does not compose with tome_r")
+    compute_dtype = jnp.dtype(cfg.dtype)
+    pe = params["patch_embed"]
+    x = jnp.dot(tokens.astype(compute_dtype),
+                pe["kernel"].astype(compute_dtype)) \
+        + pe["bias"].astype(compute_dtype)
+    table = build_pos_table(params, cfg, grids).astype(compute_dtype)
+    pos = jnp.take(table, pos_indices, axis=0)
+    valid = (segment_ids >= 0)[..., None].astype(compute_dtype)
+    x = (x + pos) * valid
+
+    from chestxray_vit_tpu.ops.tome import r_schedule, tome_merge_packed
+
+    sizes = jnp.ones(x.shape[:2], jnp.float32)
+    seg = segment_ids
+    pw = pool_weights.astype(jnp.float32)
+    rs = r_schedule(r, cfg.num_layers, cfg.tome_schedule)
+    key = rng
+
+    def make_block(r_i):
+        def block(x, sizes, seg, pw, bp, sub):
+            a_in = vit.layer_norm(x, bp["ln1"]["scale"], bp["ln1"]["bias"],
+                                  cfg.layernorm_eps)
+            attn_out, kmean = _packed_mha(a_in, bp, cfg, seg, sub, train,
+                                          return_key_mean=True)
+            attn_out = vit._dropout(attn_out, cfg.hidden_dropout, sub,
+                                    train, 0)
+            x = x + attn_out
+            # merge between attention and MLP (the dense paths' placement);
+            # clamp to the global feasible maximum like the dense forward
+            r_l = min(r_i, (x.shape[1] + 1) // 2 - 1)
+            if r_l > 0:
+                x, sizes, seg, pw = tome_merge_packed(
+                    x, kmean, sizes, seg, pw, r_l)
+            m_in = vit.layer_norm(x, bp["ln2"]["scale"], bp["ln2"]["bias"],
+                                  cfg.layernorm_eps)
+            mid = _gelu(jnp.dot(m_in, bp["mlp_in"]["kernel"])
+                        + bp["mlp_in"]["bias"],
+                        approximate=cfg.gelu_approximate)
+            mid = jax.ad_checkpoint.checkpoint_name(mid, "mlp_hidden")
+            mlp_out = (jnp.dot(mid, bp["mlp_out"]["kernel"])
+                       + bp["mlp_out"]["bias"])
+            mlp_out = vit._dropout(mlp_out, cfg.hidden_dropout, sub,
+                                   train, 1)
+            return x + mlp_out, sizes, seg, pw
+
+        if cfg.remat:
+            return jax.checkpoint(block, policy=vit.remat_policy(cfg),
+                                  prevent_cse=False)
+        return block
+
+    blocks = vit.unstack_blocks(params, cfg, compute_dtype)
+    for bp, r_i in zip(blocks, rs):
+        key, sub = (jax.random.split(key) if (train and key is not None)
+                    else (None, None))
+        x, sizes, seg, pw = make_block(r_i)(x, sizes, seg, pw, bp, sub)
+
+    fl = params["final_ln"]
+    x = vit.layer_norm(x, fl["scale"], fl["bias"], cfg.layernorm_eps)
+    pooled = jnp.einsum("bms,bsd->bmd", pw, x.astype(jnp.float32))
+    head = params["head"]
+    return (jnp.dot(pooled, head["kernel"].astype(jnp.float32))
+            + head["bias"].astype(jnp.float32))
 
 
 def packed_bce_parts(logits: jax.Array, labels: jax.Array,

@@ -167,18 +167,26 @@ def tome_merge(x: jax.Array, metric: jax.Array, sizes: jax.Array, r: int
     return _route_merge(x, sizes, apos, r)
 
 
-def _route_merge(x: jax.Array, sizes: jax.Array, apos: jax.Array, r: int
-                 ) -> Tuple[jax.Array, jax.Array]:
-    """Merge via one one-hot routing matmul given per-A-token output
-    slots (kept rank, or na-r+dst for sources)."""
-    b, s, _ = x.shape
+def _out_slots(apos: jax.Array, b: int, s: int, r: int) -> jax.Array:
+    """Per-token output slots [B, S] from per-A-token slots: B tokens keep
+    their order after the kept-A block; A tokens go to their kept rank or
+    their destination's B slot."""
     na, nb = (s + 1) // 2, s // 2
-    so = s - r
     bpos = jnp.broadcast_to(na - r + jnp.arange(nb, dtype=jnp.int32),
                             (b, nb))
     out_slot = jnp.zeros((b, s), jnp.int32)
     out_slot = out_slot.at[:, 0::2].set(apos)
     out_slot = out_slot.at[:, 1::2].set(bpos)
+    return out_slot
+
+
+def _route_merge(x: jax.Array, sizes: jax.Array, apos: jax.Array, r: int
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """Merge via one one-hot routing matmul given per-A-token output
+    slots (kept rank, or na-r+dst for sources)."""
+    b, s, _ = x.shape
+    so = s - r
+    out_slot = _out_slots(apos, b, s, r)
     route = out_slot[..., None] == jnp.arange(so, dtype=jnp.int32)
     mm_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
     route = route.astype(mm_dtype)
@@ -193,3 +201,86 @@ def _route_merge(x: jax.Array, sizes: jax.Array, apos: jax.Array, r: int
     den = jnp.zeros((b, so), jnp.float32).at[bidx, out_slot].add(sz)
     out = (num / den[..., None]).astype(x.dtype)
     return out, den
+
+
+def tome_merge_packed(x: jax.Array, metric: jax.Array, sizes: jax.Array,
+                      seg_ids: jax.Array, pool_weights: jax.Array, r: int
+                      ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One WITHIN-SEGMENT ToMe step for NaViT-style packed sequences.
+
+    Same matching/merge math as :func:`tome_merge` with two packed-specific
+    rules (beyond the reference; extends the measured train lever to the
+    packed variable-resolution path — BASELINE configs[4]):
+
+    - cross-segment similarities are masked to −inf, so merges never mix
+      different images' tokens (the reason PackedTrainer used to reject
+      ``model.tome_r`` outright);
+    - the per-image pooling weights ride the SAME routing matrix, which
+      preserves the masked-mean readout exactly: pooled_m = Σ_j pw[m,j]·x_j
+      over original tokens becomes Σ_{s'} (Σ_{j∈group(s')} pw[m,j])·x'_{s'}
+      under the merge approximation x_j ≈ x'_{s'}.
+
+    There is no CLS to protect (packed readout is pooled). Padding pairs
+    (both tokens in segment −1) are FORCED to score 2.0 — above any
+    cosine — so the matcher always compacts padding before touching real
+    content: merging pads loses zero information (their pool weights are
+    zero and the segment mask isolates them), so a budget the padding can
+    absorb is free sequence shrinkage (tested: pad-budget merges leave
+    real images' logits bit-comparable). seg_ids' is the (segment-pure)
+    group's id.
+
+    Feasibility caveat (documented, not checkable at trace time): r must
+    not exceed the number of same-segment (A, B) pairs in the batch; with
+    the packer's ≥256-token images and the per-layer clamp this holds with
+    a wide margin, but a pathological batch of length-1 segments could
+    force a cross-segment merge rather than erroring. Returns
+    ``(x', sizes', seg_ids', pool_weights')`` with S' = S − r.
+    """
+    b, s, _ = x.shape
+    na = (s + 1) // 2
+    if not 0 < r < na:
+        raise ValueError(f"r={r} must be in (0, {na}) for S={s}")
+    m = metric.astype(jnp.float32)
+    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-6)
+    scores = jnp.einsum("bad,bcd->bac", m[:, 0::2], m[:, 1::2])
+    seg_a, seg_b = seg_ids[:, 0::2], seg_ids[:, 1::2]
+    same_seg = seg_a[:, :, None] == seg_b[:, None, :]
+    scores = jnp.where(same_seg, scores, _NEG_INF)
+    # pad–pad pairs outrank any cosine: compact padding before content
+    pad_pair = (seg_a < 0)[:, :, None] & (seg_b < 0)[:, None, :]
+    scores = jnp.where(pad_pair, 2.0, scores)
+    node_max = jnp.max(scores, axis=-1)               # [B, |A|]
+    node_idx = jnp.argmax(scores, axis=-1)
+    _, src_idx = jax.lax.top_k(node_max, r)           # [B, r]
+    dst_idx = jnp.take_along_axis(node_idx, src_idx, axis=-1)
+
+    bidx = jnp.arange(b)[:, None]
+    kept = jnp.ones((b, na), jnp.int32).at[bidx, src_idx].set(0)
+    kept_rank = jnp.cumsum(kept, axis=1) - 1
+    apos = jnp.where(kept.astype(bool), kept_rank, 0)
+    apos = apos.at[bidx, src_idx].set(na - r + dst_idx.astype(jnp.int32))
+
+    so = s - r
+    out_slot = _out_slots(apos, b, s, r)
+    route = out_slot[..., None] == jnp.arange(so, dtype=jnp.int32)
+    mm_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    routef = route.astype(mm_dtype)
+    sz = sizes.astype(jnp.float32)
+    xw = (x.astype(jnp.float32) * sz[..., None]).astype(mm_dtype)
+    num = jnp.einsum("bjs,bjd->bsd", routef, xw,
+                     preferred_element_type=jnp.float32)
+    den = jnp.zeros((b, so), jnp.float32).at[bidx, out_slot].add(sz)
+    out = (num / den[..., None]).astype(x.dtype)
+    # groups are segment-pure (the mask above), so a scatter-max recovers
+    # each output slot's segment; every slot is non-empty (B tokens keep
+    # their slot, kept-A slots hold their token), so the −2 init never
+    # survives
+    seg_out = jnp.full((b, so), -2, seg_ids.dtype
+                       ).at[bidx, out_slot].max(seg_ids)
+    # pool weights carry sizes already (w[m, j] = size_j / N_m), so the
+    # plain 0/1 routing — not the size-weighted mean — preserves each
+    # image's total mass exactly
+    pw = jnp.einsum("bmj,bjs->bms", pool_weights.astype(jnp.float32),
+                    route.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    return out, den, seg_out, pw

@@ -118,12 +118,6 @@ class PackedTrainer(Trainer):
                 "with PackedTrainer (its eval packs sequences and reads "
                 "out a masked mean, not the dense CLS forward those knobs "
                 "accelerate) — unset them or use the dense Trainer")
-        if getattr(self.cfg.model, "tome_r", 0):
-            raise ValueError(
-                "model.tome_r does not compose with PackedTrainer: "
-                "merging tokens across a packed sequence would mix "
-                "DIFFERENT images' tokens (segment masks don't survive "
-                "the merge) — unset it or use the dense Trainer")
         self._train_step = S.jit_train_step(
             S.make_packed_train_step(self.cfg, self.total_steps, self.grids),
             self.mesh, self.state)
@@ -315,8 +309,15 @@ class PackedTrainer(Trainer):
                     np.zeros((0, c), np.float32), 0.0)
 
         if not hasattr(self, "_packed_fwd"):
+            # model.tome_r merges at eval too (the dense Trainer's
+            # contract: the knob changes the model's forward, train AND
+            # eval, so best-model tracking sees the numbers the deployed
+            # merged forward will produce)
+            fwd_fn = (packed_model.apply_packed_tome
+                      if self.cfg.model.tome_r > 0
+                      else packed_model.apply_packed)
             self._packed_fwd = jax.jit(
-                lambda params, t, s, p, w: packed_model.apply_packed(
+                lambda params, t, s, p, w: fwd_fn(
                     params, t, s, p, w, self.cfg.model, self.grids))
         fwd = self._packed_fwd
         eval_params = self._eval_params()

@@ -232,8 +232,12 @@ def make_packed_train_step(cfg: Config, total_steps: int,
 
     def loss_parts(params, batch, step_rng):
         """(BCE element-sum over real images, real-image×class count) —
-        accumulation-exact split, see packed_bce_parts."""
-        logits = packed_model.apply_packed(
+        accumulation-exact split, see packed_bce_parts. ``model.tome_r``
+        dispatches to the within-segment merging forward (same contract
+        as the dense step's tome dispatch)."""
+        fwd = (packed_model.apply_packed_tome if cfg.model.tome_r > 0
+               else packed_model.apply_packed)
+        logits = fwd(
             params, batch["tokens"], batch["segment_ids"],
             batch["pos_indices"], batch["pool_weights"], cfg.model, grids,
             train=True, rng=step_rng)
