@@ -187,6 +187,35 @@ def test_packed_tome_train_step_loss_decreases(rng):
     assert np.isfinite(losses).all()
 
 
+def test_packed_tome_golden_trajectory():
+    """Pinned 10-step loss path of the packed tome train step (CPU f32,
+    fixed seeds) — the packed counterpart of the dense golden tome pins:
+    numerics drift anywhere in the segment-masked merge, routing, or the
+    packed step math fails here. Golden recorded 2026-08-19."""
+    from chestxray_vit_tpu.train import steps as S
+    golden = [0.69683367, 0.60803425, 0.53642815, 0.47607034, 0.43201065,
+              0.39969572, 0.37361142, 0.35013288, 0.32860592, 0.30870613]
+    r = np.random.default_rng(11)
+    imgs = [r.integers(0, 255, (s, s), np.uint8)
+            for s in [64, 48, 32, 48, 64, 32]]
+    labs = [(r.random(5) < 0.4).astype(np.float32) for _ in range(6)]
+    b = pk.pack_images(imgs, labs, patch=16, seq_len=32, grids=GRIDS)
+    tcfg = dataclasses.replace(CFG, tome_r=2, tome_schedule="decreasing")
+    cfg = Config(model=tcfg, train=TrainConfig(learning_rate=2e-3))
+    params = vit.init_params(jax.random.key(7), tcfg)
+    state = S.TrainState.create(params, 0)
+    step = jax.jit(S.make_packed_train_step(cfg, 100, GRIDS))
+    batch = {k: jnp.asarray(getattr(b, k)) for k in
+             ["tokens", "segment_ids", "pos_indices", "pool_weights",
+              "labels", "image_mask"]}
+    losses = []
+    for _ in range(10):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    np.testing.assert_allclose(losses, golden, rtol=5e-4,
+                               err_msg="packed tome trajectory drifted")
+
+
 @pytest.fixture()
 def fake_varres():
     from PIL import Image

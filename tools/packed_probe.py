@@ -1,10 +1,14 @@
 """Packed (NaViT-style) train-step probe on the local chip.
 
-Usage: python tools/packed_probe.py [n_seqs] [sync] [remat]
+Usage: python tools/packed_probe.py [n_seqs] [sync] [remat] [tome_r] [sched]
   n_seqs  packed sequences per step (default 32; each carries two
           384px-class images → 1152 tokens, the BENCH_NOTES config)
   sync    sync window in steps (default 16)
   remat   0|1 (default 1)
+  tome_r  within-segment token merging rate (default 0 = off); this
+          config packs 2×576 tokens with no padding, so every merge
+          hits real content (worst case for the pad-first rule)
+  sched   constant|decreasing (default constant)
 
 Prints images/sec/chip. Timing discipline per BENCH_NOTES.md (scalar sync).
 """
@@ -35,8 +39,11 @@ def main() -> None:
     n_seqs = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     sync = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     remat = bool(int(sys.argv[3])) if len(sys.argv) > 3 else True
+    tome_r = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    sched = sys.argv[5] if len(sys.argv) > 5 else "constant"
 
-    cfg = Config(model=ModelConfig(num_classes=15, remat=remat),
+    cfg = Config(model=ModelConfig(num_classes=15, remat=remat,
+                                   tome_r=tome_r, tome_schedule=sched),
                  train=TrainConfig())
 
     # two 384px-class (24×24-patch = 576-token) images per 1152-token seq
@@ -79,7 +86,8 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / iters
 
     ips = n_imgs / dt
-    print(f"n_seqs={n_seqs} sync={sync} remat={int(remat)}: "
+    print(f"n_seqs={n_seqs} sync={sync} remat={int(remat)} "
+          f"tome_r={tome_r} sched={sched}: "
           f"{ips:.2f} img/s/chip  step={dt * 1e3:.1f}ms")
 
 
