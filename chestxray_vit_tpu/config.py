@@ -445,15 +445,15 @@ def fast_finetune_config() -> Config:
     decreasing schedule (BENCH_NOTES "tome_schedule=decreasing": r=32
     decreasing = 494.5 img/s/chip, 2.1x the dense step; r=16 = 355.7).
 
-    Ships with tome_r=16 decreasing — the only merged budget whose
-    converged quality REPRODUCES in the owned convergence A/B
-    (BENCH_NOTES Round 5: plateau 0.925-0.927 across schedule lengths on
-    the hard synthetic task, 4-7 pts under dense; gated in
-    tests/test_quality_band.py). r=32 decreasing is 2.1x the dense step
-    but init-sensitive at convergence (0.82-0.95 across inits) — raise
-    to 32 only for throughput-bound exploration, and validate final
-    models on your data (`examples/finetune_nih.py
-    --expect-tome-band`)."""
+    Ships with tome_r=16 decreasing. Quality caveat (BENCH_NOTES Round 5
+    convergence A/B, gated in tests/test_quality_band.py): merged
+    training is INIT-SENSITIVE at every headline budget on the hard
+    synthetic task (best inits 4-7 avg_auroc pts under dense, worst
+    ~0.82 vs dense 0.99) — this preset is a THROUGHPUT tool for
+    exploration and sweeps. r=16 over the faster r=32 (2.1x): equal
+    measured floors, but the smaller budget discards strictly less
+    information. Train final models dense, or validate each merged run
+    (`examples/finetune_nih.py --expect-tome-band`)."""
     cfg = version_b_config()
     cfg.model.remat = True
     cfg.model.tome_r = 16

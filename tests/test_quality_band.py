@@ -80,30 +80,24 @@ def test_dense_plateau_band(cells):
         assert c["best_auroc"] >= 0.985, c
 
 
-def test_recommended_budget_reproducible_plateau(cells):
-    """The shipped default (r=16 decreasing): plateau in [0.915, 0.945]
-    and reproducible across schedule lengths within 1 pt — the property
-    that made it the recommendation over r=32."""
-    best = [c["best_auroc"]
-            for c in _best(cells, tome_r=16, schedule="decreasing")]
-    assert all(0.915 <= b <= 0.945 for b in best), best
-    assert max(best) - min(best) <= 0.01, best
-
-
-def test_headline_budget_band(cells):
-    """r=32 decreasing (the 2.1x opt-in speed row): every cell must learn
-    well past the 0.74 easy-class floor (>=0.79), and the measured
-    init-sensitivity (>=5 pt spread across cells) must persist in the
-    data — it is the documented reason r=32 is NOT the default. If new
-    cells erase the spread, the guidance (and possibly the preset)
-    should be revisited."""
-    best = [c["best_auroc"]
-            for c in _best(cells, tome_r=32, schedule="decreasing")]
-    assert all(b >= 0.79 for b in best), best
-    if len(best) >= 3:
-        assert max(best) - min(best) >= 0.05, (
-            "r32-dec cells now agree within 5 pts — the init-sensitivity "
-            "warning in BENCH_NOTES/README is stale", best)
+def test_headline_budgets_learning_floor_and_init_sensitivity(cells):
+    """The decreasing-schedule headline budgets (r=16 and r=32): every
+    cell must learn well past the 0.74 easy-class floor (>=0.79 best),
+    and the measured init-sensitivity (>=5 pt spread across cells at
+    each budget) must persist in the data — it is the documented reason
+    merged training is a throughput tool, not the final-model default.
+    If new cells erase the spread, the guidance in BENCH_NOTES/README
+    ('init-sensitive at every headline budget') is stale and must be
+    revisited WITH the preset."""
+    for r in (16, 32):
+        best = [c["best_auroc"]
+                for c in _best(cells, tome_r=r, schedule="decreasing")]
+        assert all(b >= 0.79 for b in best), (r, best)
+        assert max(best) >= 0.92, (r, best)   # the good mode exists
+        if len(best) >= 3:
+            assert max(best) - min(best) >= 0.05, (
+                f"r{r}-dec cells now agree within 5 pts — the "
+                "init-sensitivity warning is stale", best)
 
 
 def test_decreasing_schedule_is_a_quality_lever(cells):
@@ -128,22 +122,23 @@ def test_gap_lives_in_the_weights_not_the_eval(cells):
 
 
 def test_preset_matches_measured_recommendation(cells):
-    """fast_finetune ships the budget the data recommends: the largest
-    measured budget whose plateau is reproducible (<=1 pt spread across
-    schedule lengths) AND within 8 pts of dense. Today that is r=16
-    decreasing; if new cells change the winner, move the preset WITH the
-    data."""
+    """fast_finetune is a THROUGHPUT preset (no merged budget has a
+    reproducible plateau — every one is init-sensitive), so the data
+    constrains it differently: the budget must use the decreasing
+    schedule (constant is a measured quality no-go), its best-case mode
+    must exist (>=0.92 in some cell), its floor must clear the learning
+    bar (>=0.79 in every cell), and among budgets tied on those counts
+    the preset takes the SMALLEST (least information discarded at equal
+    measured risk — BENCH_NOTES 'Recommendation'). Today: r=16."""
     cfg = _PRESETS["fast_finetune"]()
     assert cfg.model.tome_schedule == "decreasing"
-    dense = max(c["best_auroc"] for c in _best(cells, tome_r=0))
     by_r = {}
     for c in cells:
         if c["tome_r"] > 0 and c["schedule"] == "decreasing":
             by_r.setdefault(c["tome_r"], []).append(c["best_auroc"])
     qualifying = [r for r, vals in by_r.items()
-                  if max(vals) - min(vals) <= 0.01
-                  and min(vals) >= dense - 0.08]
+                  if max(vals) >= 0.92 and min(vals) >= 0.79]
     assert qualifying, "no merged budget qualifies — preset must go dense"
-    assert cfg.model.tome_r == max(qualifying), (
+    assert cfg.model.tome_r == min(qualifying), (
         f"preset tome_r={cfg.model.tome_r} but the data recommends "
-        f"{max(qualifying)} (qualifying budgets: {sorted(qualifying)})")
+        f"{min(qualifying)} (qualifying budgets: {sorted(qualifying)})")
