@@ -33,9 +33,11 @@ def _cells():
             if line:
                 rows.append(json.loads(line))
     # The A/B science band: the hard task at ViT-B depth. Other rows
-    # (depth probes at layers!=12, easier contrasts) have their own gates.
+    # (depth probes at layers!=12, easier contrasts, dense-warmup
+    # treatment cells) have their own gates.
     return [r for r in rows
-            if r.get("layers") == 12 and r.get("contrast") == 80]
+            if r.get("layers") == 12 and r.get("contrast") == 80
+            and not r.get("tome_warmup")]
 
 
 @pytest.fixture(scope="module")

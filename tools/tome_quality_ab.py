@@ -80,6 +80,19 @@ def main() -> None:
     remat = bool(int(kv.get("remat", 1)))   # headline configs train rematerialized
     contrast = int(kv.get("contrast", 40))
     jitter = int(kv.get("jitter", 24))
+    # Dense-warmup hypothesis (round-5 init-sensitivity follow-up): the
+    # quality A/B showed every merged cell is a DELAYED takeoff and the
+    # slow-climb inits never break the easy-class floor — i.e. merging
+    # impedes early feature learning, not the converged computation. If
+    # so, training DENSE through the takeoff window and only then
+    # switching merging on should recover dense-mode takeoff at most of
+    # the merged throughput. tome_warmup=W trains steps 1..W with the
+    # dense step function, W+1.. with the merged one (same params tree —
+    # merging is parameter-free; same cosine schedule — total_steps is
+    # shared, so LR is continuous across the switch).
+    tome_warmup = int(kv.get("tome_warmup", 0))
+    if tome_warmup and not r:
+        raise SystemExit("tome_warmup requires a merged cell (r>0)")
     out_path = os.path.join(ROOT, kv.get("out", "BENCH_QUALITY_AB.jsonl"))
 
     enable_compilation_cache(os.path.join(ROOT, ".xla_cache"))
@@ -114,6 +127,13 @@ def main() -> None:
     state = S.TrainState.create(params, seed=init_seed)
     step = S.jit_train_step(S.make_train_step(cfg, total_steps=steps),
                             mesh, state)
+    warm_step = None
+    if tome_warmup:
+        import dataclasses as _dc
+        cfg_warm = Config(model=_dc.replace(mcfg, tome_r=0),
+                          train=cfg.train)
+        warm_step = S.jit_train_step(
+            S.make_train_step(cfg_warm, total_steps=steps), mesh, state)
     state = S.place_state(state, mesh)
     ev = S.make_eval_step(cfg)
     jev = S.jit_eval_step(ev, mesh, params)
@@ -163,7 +183,8 @@ def main() -> None:
     loss = float("nan")
     t0 = time.perf_counter()
     for i in range(1, steps + 1):
-        state, m = step(state, next_batch())
+        state, m = (warm_step if i <= tome_warmup else step)(
+            state, next_batch())
         if i % 16 == 0:          # sync discipline (BENCH_NOTES.md)
             loss = float(m["loss"])
         if i % eval_every == 0 or i == steps:
@@ -182,6 +203,7 @@ def main() -> None:
     aurocs = [a for _, a in evals]
     rec = {
         "cell": cell, "tome_r": r, "schedule": sched,
+        **({"tome_warmup": tome_warmup} if tome_warmup else {}),
         "steps": steps, "batch": batch, "img": img, "hidden": hidden,
         "layers": layers, "lr": lr, "dtype": dtype, "seed": seed,
         "init_seed": init_seed, "contrast": contrast, "jitter": jitter,
