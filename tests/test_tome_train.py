@@ -155,8 +155,9 @@ def test_trainer_trains_with_tome(tmp_path):
 
 def test_packed_trainer_rejects_tome_and_accel_eval(tmp_path):
     """Fail-fast composition rules (VERDICT r3 weak #5): the packed
-    trainer rejects model.tome_r and the accelerated-eval knobs at
-    construction instead of silently ignoring them."""
+    trainer rejects the accelerated-eval knobs at construction instead
+    of silently ignoring them. (model.tome_r composes since round 5 —
+    see tests/test_packed_tome.py::test_packed_trainer_composes_with_tome.)"""
     from chestxray_vit_tpu.data.testing import build_fake_nih
     from chestxray_vit_tpu.train.packed_trainer import PackedTrainer
 
@@ -176,10 +177,6 @@ def test_packed_trainer_rejects_tome_and_accel_eval(tmp_path):
                       model=ModelConfig(**model),
                       train=TrainConfig(**train))
 
-    with pytest.raises(ValueError, match="tome_r"):
-        PackedTrainer(cfg(model={"tome_r": 2}), seq_len=48,
-                      grids=(4,), batch_seqs=8, store=fake.store,
-                      pretrained=False)
     with pytest.raises(ValueError, match="eval_quantize"):
         PackedTrainer(cfg(train={"eval_quantize": "static"}), seq_len=48,
                       grids=(4,), batch_seqs=8, store=fake.store,
