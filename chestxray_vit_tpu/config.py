@@ -332,6 +332,19 @@ class TrainConfig:
     # ~linear in merged tokens, fidelity is yours to validate (the eval
     # metrics ARE the merged model's). Composes with eval_quantize.
     eval_tome_r: int = 0
+    # Dense warmup for token-merged training (beyond the reference;
+    # requires model.tome_r > 0): train the first `tome_warmup` steps
+    # with the DENSE step function, then switch merging on — params and
+    # LR schedule are continuous across the switch (merging is
+    # parameter-free). Motivation (BENCH_NOTES "Dense-warmup rescue"):
+    # merged training's measured init-sensitivity is an early-training
+    # artifact — on the bad-mode init, a warmup through the dense
+    # takeoff window recovered 0.821 -> 0.977 avg_auroc, within ~1.5 pts
+    # of dense, while keeping most of the merge throughput (a fixed
+    # warmup amortizes toward the full merged rate on longer runs).
+    # Rule of thumb: set it to the step where a dense run's metric
+    # leaves its floor (~30-40% of a short fine-tune's schedule).
+    tome_warmup: int = 0
     seed: int = 42
     output_dir: str = "./outputs"
     report_to: str = "tensorboard"          # B (pyc L453); A: 'none'

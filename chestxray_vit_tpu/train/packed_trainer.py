@@ -119,9 +119,14 @@ class PackedTrainer(Trainer):
                 "out a masked mean, not the dense CLS forward those knobs "
                 "accelerate) — unset them or use the dense Trainer")
         self._train_step = S.jit_train_step(
-            S.make_packed_train_step(self.cfg, self.total_steps, self.grids),
-            self.mesh, self.state)
+            self._make_step_fn(self.cfg), self.mesh, self.state)
         self._eval_step = None  # packed eval path below
+        # dense-warmup (train.tome_warmup) composes: the base helper
+        # builds the same packed step with tome_r=0 via _make_step_fn
+        self._warmup_step = self._build_tome_warmup_step()
+
+    def _make_step_fn(self, cfg):
+        return S.make_packed_train_step(cfg, self.total_steps, self.grids)
 
     # ------------------------------------------------------------------
 

@@ -134,8 +134,7 @@ class Trainer:
     def _build_steps(self) -> None:
         """Compile the train/eval step functions (subclass hook)."""
         self._train_step = S.jit_train_step(
-            S.make_train_step(self.cfg, self.total_steps),
-            self.mesh, self.state)
+            self._make_step_fn(self.cfg), self.mesh, self.state)
         self._eval_step = S.jit_eval_step(
             S.make_eval_step(self.cfg), self.mesh, self.state.params)
         if self.cfg.train.eval_quantize not in (None, "static", "dynamic"):
@@ -156,6 +155,36 @@ class Trainer:
                 f"conflicts with model.tome_r={mr} — the model trains "
                 f"AND evaluates with its own r; leave eval_tome_r unset "
                 f"(or equal) and use eval_quantize to accelerate")
+        self._warmup_step = self._build_tome_warmup_step()
+
+    def _build_tome_warmup_step(self):
+        """Dense-warmup step for token-merged training (train.tome_warmup):
+        the same train step with model.tome_r=0 — steps 1..tome_warmup run
+        it, later steps run the merged step. Params/optimizer/LR are
+        continuous across the switch (merging is parameter-free; the LR
+        schedule is built over the shared total_steps). Measured rescue of
+        merged training's init-sensitivity: BENCH_NOTES 'Dense-warmup
+        rescue' (bad-mode init 0.821 -> 0.977 avg_auroc)."""
+        tw = self.cfg.train.tome_warmup
+        if tw < 0:
+            raise ValueError(f"train.tome_warmup must be >= 0, got {tw}")
+        if not tw:
+            return None
+        if not getattr(self.cfg.model, "tome_r", 0):
+            raise ValueError(
+                "train.tome_warmup requires model.tome_r > 0 — it is the "
+                "dense-warmup phase OF token-merged training (unset one)")
+        import dataclasses
+        dense_cfg = dataclasses.replace(
+            self.cfg,
+            model=dataclasses.replace(self.cfg.model, tome_r=0))
+        return S.jit_train_step(
+            self._make_step_fn(dense_cfg), self.mesh, self.state)
+
+    def _make_step_fn(self, cfg):
+        """Unjitted train-step factory (subclass hook — PackedTrainer
+        builds the packed step so tome_warmup composes there too)."""
+        return S.make_train_step(cfg, self.total_steps)
 
     def _inference_eval(self, placed):
         """Lazily build the accelerated eval path from the CURRENT params
@@ -339,7 +368,14 @@ class Trainer:
             try:
                 for batch in prefetch:
                     self.profiler.maybe_start(step)
-                    self.state, metrics = self._train_step(self.state, batch)
+                    # dense-warmup dispatch (train.tome_warmup): absolute
+                    # step index, so checkpoint resume lands in the right
+                    # phase automatically
+                    step_fn = (self._warmup_step
+                               if self._warmup_step is not None
+                               and step < self.cfg.train.tome_warmup
+                               else self._train_step)
+                    self.state, metrics = step_fn(self.state, batch)
                     step += 1
                     batch_idx += 1
                     unmetered_steps += 1

@@ -262,3 +262,39 @@ def test_packed_trainer_composes_with_tome(tmp_path, fake_varres):
         assert np.isfinite(ev["eval_loss"])
     finally:
         tr.close()
+
+
+def test_packed_trainer_tome_warmup(tmp_path, fake_varres):
+    """train.tome_warmup composes with PackedTrainer: the warmup phase
+    runs the DENSE packed step (trajectory identical to a tome_r=0 run
+    while inside the window), then switches to the merged one."""
+    from chestxray_vit_tpu.train.packed_trainer import PackedTrainer
+
+    def run(tome_r, warmup):
+        cfg = Config(
+            data=DataConfig(backend="memory"),
+            model=ModelConfig(img_size=64, patch_size=16, hidden_size=64,
+                              num_layers=2, num_heads=4, mlp_dim=128,
+                              dtype="float32", attention_impl="xla",
+                              tome_r=tome_r, tome_schedule="decreasing"),
+            train=TrainConfig(learning_rate=1e-3, max_steps=2,
+                              eval_strategy="no", save_strategy="no",
+                              logging_steps=1, tome_warmup=warmup,
+                              load_best_model_at_end=False,
+                              output_dir=str(tmp_path / f"o{tome_r}.{warmup}"),
+                              report_to="none"))
+        tr = PackedTrainer(cfg, seq_len=48, grids=GRIDS, batch_seqs=8,
+                           store=fake_varres.store, pretrained=False)
+        try:
+            tr.train()
+            return np.concatenate(
+                [np.asarray(x).ravel()
+                 for x in jax.tree.leaves(tr.state.params)])
+        finally:
+            tr.close()
+
+    dense = run(0, 0)
+    full_warm = run(2, 2)
+    merged = run(2, 0)
+    np.testing.assert_array_equal(dense, full_warm)
+    assert not np.allclose(dense, merged)

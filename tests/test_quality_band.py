@@ -123,6 +123,40 @@ def test_gap_lives_in_the_weights_not_the_eval(cells):
         assert abs(c["best_auroc"] - c["best_dense_auroc"]) <= 0.025, c
 
 
+def _warmup_cells():
+    rows = []
+    with open(_PATH) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    return [r for r in rows
+            if r.get("layers") == 12 and r.get("contrast") == 80
+            and r.get("tome_warmup")]
+
+
+def test_dense_warmup_rescues_the_bad_init():
+    """The dense-warmup treatment (train.tome_warmup — BENCH_NOTES
+    'Dense-warmup rescue'): on the bad-mode init (r32_dec init_seed=1,
+    which flattens at ~0.82 without warmup), warming up dense through
+    the takeoff window must recover to >=0.95 best avg_auroc and beat
+    the no-warmup run by >=10 pts. This is the measured basis for the
+    tome_warmup knob's documentation; if re-run cells stop supporting
+    it, knob docs and guidance must move together."""
+    warm = [c for c in _warmup_cells()
+            if c["tome_r"] == 32 and c["schedule"] == "decreasing"
+            and c.get("init_seed") == 1]
+    assert warm, "the rescue cell is missing from BENCH_QUALITY_AB.jsonl"
+    base = [c for c in _cells()
+            if c["tome_r"] == 32 and c["schedule"] == "decreasing"
+            and c.get("init_seed") == 1 and c["steps"] == 2400]
+    assert base, "the no-warmup bad-init anchor cell is missing"
+    best_warm = max(c["best_auroc"] for c in warm)
+    best_base = max(c["best_auroc"] for c in base)
+    assert best_warm >= 0.95, best_warm
+    assert best_warm - best_base >= 0.10, (best_warm, best_base)
+
+
 def test_preset_matches_measured_recommendation(cells):
     """fast_finetune is a THROUGHPUT preset (no merged budget has a
     reproducible plateau — every one is init-sensitive), so the data

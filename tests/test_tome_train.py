@@ -153,6 +153,74 @@ def test_trainer_trains_with_tome(tmp_path):
     tr.close()
 
 
+def test_tome_warmup_dispatch(tmp_path):
+    """train.tome_warmup (the measured init-sensitivity rescue — BENCH_NOTES
+    'Dense-warmup rescue'): steps below the warmup boundary run the DENSE
+    step function bit-for-bit, later steps run the merged one. Proven by
+    trajectory identity: a merged config with warmup >= max_steps ends at
+    exactly the dense run's params; warmup=0 ends elsewhere; a partial
+    warmup ends at a third point (and still trains finite)."""
+    from chestxray_vit_tpu.data.testing import build_fake_nih
+    from chestxray_vit_tpu.train.trainer import Trainer
+
+    fake = build_fake_nih(num_images=48, image_size=64, seed=11)
+
+    def run(tome_r, warmup):
+        cfg = Config(
+            data=DataConfig(backend="memory"),
+            model=_model_cfg(num_classes=15, num_layers=2, tome_r=tome_r),
+            train=TrainConfig(batch_size_per_core=2, learning_rate=2e-3,
+                              max_steps=3, eval_strategy="no",
+                              save_strategy="no", logging_steps=1,
+                              load_best_model_at_end=False,
+                              tome_warmup=warmup,
+                              output_dir=str(tmp_path / f"o{tome_r}.{warmup}"),
+                              report_to="none", seed=0),
+        )
+        tr = Trainer(cfg, store=fake.store, pretrained=False)
+        tr.train()
+        flat = np.concatenate([np.asarray(x).ravel()
+                               for x in jax.tree.leaves(tr.state.params)])
+        tr.close()
+        return flat
+
+    dense = run(0, 0)
+    full_warm = run(3, 3)          # every step inside the warmup window
+    merged = run(3, 0)
+    partial = run(3, 1)
+    np.testing.assert_array_equal(dense, full_warm)
+    assert not np.allclose(dense, merged)
+    assert not np.allclose(partial, merged)
+    assert not np.allclose(partial, dense)
+    assert np.isfinite(partial).all()
+
+
+def test_tome_warmup_validation(tmp_path):
+    """tome_warmup fail-fasts: negative, or set without model.tome_r
+    (the silent-knob-no-op pattern is banned — VERDICT r3/r4)."""
+    from chestxray_vit_tpu.data.testing import build_fake_nih
+    from chestxray_vit_tpu.train.trainer import Trainer
+
+    fake = build_fake_nih(num_images=16, image_size=64, seed=3)
+
+    def cfg(tome_r, warmup):
+        return Config(
+            data=DataConfig(backend="memory"),
+            model=_model_cfg(num_classes=15, num_layers=2, tome_r=tome_r),
+            train=TrainConfig(batch_size_per_core=2, max_steps=1,
+                              eval_strategy="no", save_strategy="no",
+                              load_best_model_at_end=False,
+                              tome_warmup=warmup,
+                              output_dir=str(tmp_path / "out"),
+                              report_to="none", seed=0),
+        )
+
+    with pytest.raises(ValueError, match="tome_warmup"):
+        Trainer(cfg(0, 5), store=fake.store, pretrained=False)
+    with pytest.raises(ValueError, match="tome_warmup"):
+        Trainer(cfg(3, -1), store=fake.store, pretrained=False)
+
+
 def test_packed_trainer_rejects_tome_and_accel_eval(tmp_path):
     """Fail-fast composition rules (VERDICT r3 weak #5): the packed
     trainer rejects the accelerated-eval knobs at construction instead
