@@ -163,6 +163,19 @@ def serve(predictor: Predictor, host: str = "127.0.0.1", port: int = 8000,
     return server
 
 
+def auto_accel_config(batch_size: int) -> dict:
+    """Measured-crossover auto-pick (VERDICT r4 #5): the int8-static +
+    token-merging stack is measured FASTER end-to-end only at batch >=
+    32 (70.4 vs bf16's 44.2 req/s at b32); at b8 it LOSES to plain bf16
+    (57.1 vs 63.0 — dispatch-dominated small batches). BENCH_NOTES
+    'Serving e2e: host-path fixes measured'. Returns the config
+    overrides the measurements recommend at this batch size."""
+    if batch_size >= 32:
+        return {"quantize": "static", "tome_r": 16,
+                "tome_schedule": "decreasing"}
+    return {"quantize": None, "tome_r": 0, "tome_schedule": "constant"}
+
+
 def main(argv: Optional[list] = None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-dir", required=True)
@@ -210,7 +223,29 @@ def main(argv: Optional[list] = None) -> int:
                          "calibration; 'synthetic' opts into the seeded "
                          "noise fallback without the warning (or persist "
                          "real-data scales once with `cli quantize`)")
+    ap.add_argument("--auto-accel", action="store_true",
+                    help="pick the forward stack by the measured batch "
+                         "crossover (BENCH_NOTES 'Serving e2e'): int8 "
+                         "static + tome r=16 decreasing at batch >= 32, "
+                         "plain bf16 below. Mutually exclusive with "
+                         "explicit --quantize/--tome-r/--preset")
     ns = ap.parse_args(argv)
+    if ns.auto_accel:
+        if (ns.quantize is not None or ns.tome_r is not None
+                or ns.tome_schedule is not None or ns.preset):
+            ap.error("--auto-accel picks the stack itself — drop "
+                     "--quantize/--tome-r/--tome-schedule/--preset")
+        batch = ns.batch_size if ns.batch_size is not None else 8
+        picked = auto_accel_config(batch)
+        ns.quantize = picked["quantize"]
+        ns.tome_r = picked["tome_r"]
+        ns.tome_schedule = picked["tome_schedule"]
+        stack = (f"int8-{picked['quantize']} + tome r={picked['tome_r']} "
+                 f"{picked['tome_schedule']}" if picked["quantize"]
+                 else "plain bf16")
+        print(f"[server] auto-accel: batch {batch} "
+              f"{'>=' if batch >= 32 else '<'} 32 crossover -> {stack}",
+              flush=True)
     # preset expansion: explicit flags win over preset values, preset
     # values win over the plain defaults
     preset = SERVE_PRESETS.get(ns.preset, {})

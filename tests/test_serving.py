@@ -502,6 +502,27 @@ def test_serve_preset_fast_serve_expands_and_flags_override():
         64, "static", 0, "decreasing")
 
 
+def test_auto_accel_picks_by_measured_crossover():
+    """--auto-accel (VERDICT r4 #5's stronger variant): the decision
+    helper returns the fast_serve accel shape at the measured b>=32
+    crossover and plain bf16 below it; combining --auto-accel with an
+    explicit stack flag is rejected (ambiguous)."""
+    from chestxray_vit_tpu.serve import server as srv
+
+    assert srv.auto_accel_config(32) == {
+        "quantize": "static", "tome_r": 16, "tome_schedule": "decreasing"}
+    assert srv.auto_accel_config(64)["quantize"] == "static"
+    for b in (1, 8, 16, 31):
+        assert srv.auto_accel_config(b) == {
+            "quantize": None, "tome_r": 0, "tome_schedule": "constant"}
+
+    import pytest as _pytest
+    for extra in (["--tome-r", "4"], ["--quantize", "static"],
+                  ["--preset", "fast_serve"]):
+        with _pytest.raises(SystemExit):
+            srv.main(["--model-dir", "x", "--auto-accel", *extra])
+
+
 def test_predictor_small_batch_accel_guidance(capsys):
     """The measured crossover is enforced at runtime (VERDICT r4 #5): an
     accel stack at batch < 16 prints the measured guidance; bf16 small
