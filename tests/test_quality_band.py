@@ -157,6 +157,26 @@ def test_dense_warmup_rescues_the_bad_init():
     assert best_warm - best_base >= 0.10, (best_warm, best_base)
 
 
+def test_dense_warmup_does_not_cost_the_good_init():
+    """Warmup on the GOOD init (r32_dec init_seed=0, 0.9503 without
+    warmup) must not cost quality — measured it LIFTS the good mode to
+    dense parity (0.9967 vs dense anchors 0.992–0.996, BENCH_NOTES
+    'Dense-warmup rescue'). Gate: the warmup cell beats its no-warmup
+    counterpart and clears 0.98."""
+    warm = [c for c in _warmup_cells()
+            if c["tome_r"] == 32 and c["schedule"] == "decreasing"
+            and c.get("init_seed") == 0]
+    assert warm, "the good-init warmup cell is missing"
+    base = [c for c in _cells()
+            if c["tome_r"] == 32 and c["schedule"] == "decreasing"
+            and c.get("init_seed") == 0 and c["steps"] == 2400]
+    assert base, "the no-warmup good-init anchor cell is missing"
+    best_warm = max(c["best_auroc"] for c in warm)
+    best_base = max(c["best_auroc"] for c in base)
+    assert best_warm >= 0.98, best_warm
+    assert best_warm >= best_base, (best_warm, best_base)
+
+
 def test_preset_matches_measured_recommendation(cells):
     """fast_finetune is a THROUGHPUT preset (no merged budget has a
     reproducible plateau — every one is init-sensitive), so the data
