@@ -344,7 +344,11 @@ class TrainConfig:
     # warmup amortizes toward the full merged rate on longer runs).
     # Rule of thumb: set it to the step where a dense run's metric
     # leaves its floor (~30-40% of a short fine-tune's schedule).
-    tome_warmup: int = 0
+    # Values >= 1 are absolute steps; a fraction in (0, 1) means that
+    # fraction of the run's total steps (resolved once at trainer
+    # construction), so presets can carry the recipe without knowing
+    # the schedule length.
+    tome_warmup: float = 0
     seed: int = 42
     output_dir: str = "./outputs"
     report_to: str = "tensorboard"          # B (pyc L453); A: 'none'

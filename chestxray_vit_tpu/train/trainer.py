@@ -164,10 +164,21 @@ class Trainer:
         continuous across the switch (merging is parameter-free; the LR
         schedule is built over the shared total_steps). Measured rescue of
         merged training's init-sensitivity: BENCH_NOTES 'Dense-warmup
-        rescue' (bad-mode init 0.821 -> 0.977 avg_auroc)."""
+        rescue' (bad-mode init 0.821 -> 0.977 avg_auroc).
+
+        Resolves ``self._tome_warmup_steps``: values >= 1 are absolute
+        steps; a fraction in (0, 1) means that fraction of total_steps
+        (so presets can ship the recipe without knowing the schedule
+        length)."""
         tw = self.cfg.train.tome_warmup
         if tw < 0:
             raise ValueError(f"train.tome_warmup must be >= 0, got {tw}")
+        if tw >= 1 and tw != int(tw):
+            raise ValueError(
+                f"train.tome_warmup must be an integer step count (>= 1) "
+                f"or a fraction of total steps in (0, 1), got {tw}")
+        self._tome_warmup_steps = (max(1, int(round(tw * self.total_steps)))
+                                   if 0 < tw < 1 else int(tw))
         if not tw:
             return None
         if not getattr(self.cfg.model, "tome_r", 0):
@@ -369,11 +380,12 @@ class Trainer:
                 for batch in prefetch:
                     self.profiler.maybe_start(step)
                     # dense-warmup dispatch (train.tome_warmup): absolute
-                    # step index, so checkpoint resume lands in the right
-                    # phase automatically
+                    # step index (fractions were resolved against
+                    # total_steps at construction), so checkpoint resume
+                    # lands in the right phase automatically
                     step_fn = (self._warmup_step
                                if self._warmup_step is not None
-                               and step < self.cfg.train.tome_warmup
+                               and step < self._tome_warmup_steps
                                else self._train_step)
                     self.state, metrics = step_fn(self.state, batch)
                     step += 1

@@ -193,6 +193,10 @@ def test_tome_warmup_dispatch(tmp_path):
     assert not np.allclose(partial, merged)
     assert not np.allclose(partial, dense)
     assert np.isfinite(partial).all()
+    # a fraction in (0, 1) resolves against total_steps at construction:
+    # 1/3 of max_steps=3 is the same boundary as warmup=1, bit-for-bit
+    frac = run(3, 1 / 3)
+    np.testing.assert_array_equal(partial, frac)
 
 
 def test_tome_warmup_validation(tmp_path):
@@ -219,6 +223,10 @@ def test_tome_warmup_validation(tmp_path):
         Trainer(cfg(0, 5), store=fake.store, pretrained=False)
     with pytest.raises(ValueError, match="tome_warmup"):
         Trainer(cfg(3, -1), store=fake.store, pretrained=False)
+    # >= 1 must be an integral step count (1.5 steps is meaningless;
+    # fractions of total_steps live in (0, 1))
+    with pytest.raises(ValueError, match="tome_warmup"):
+        Trainer(cfg(3, 1.5), store=fake.store, pretrained=False)
 
 
 def test_packed_trainer_rejects_tome_and_accel_eval(tmp_path):
