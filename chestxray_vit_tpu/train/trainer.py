@@ -32,6 +32,35 @@ from chestxray_vit_tpu.utils.logging import MetricLogger, ThroughputMeter
 from chestxray_vit_tpu.utils.profiling import StepProfiler
 
 
+def merged_floor_hint(history, step, total_steps, tome_r, warmup_steps,
+                      *, after_frac=0.6, min_progress=0.02):
+    """Measured-guidance check for merged training's bad init mode
+    (BENCH_NOTES 'Round 5' quality A/B + 'Dense-warmup rescue'): the
+    failure signature is visible MID-RUN — the eval metric is still at
+    its starting floor past ~60% of the schedule, while healthy runs
+    have taken off by then. Returns a one-line hint when that signature
+    is present, else None. Pure function (the trainer emits it at most
+    once per run); ``history`` is [(step, avg_auroc), ...] in order.
+    Inapplicable (returns None) when training is dense, a dense warmup
+    is already configured (the measured rescue), or fewer than two
+    evals have landed."""
+    if not tome_r or warmup_steps or len(history) < 2:
+        return None
+    if step < after_frac * max(total_steps, 1):
+        return None
+    first = history[0][1]
+    best = max(v for _, v in history)
+    if best - first >= min_progress:
+        return None
+    return (f"[trainer] merged training is still at its starting metric "
+            f"floor past {int(100 * after_frac)}% of the schedule (best "
+            f"avg_auroc {best:.3f} vs first eval {first:.3f}) — the "
+            f"measured init-sensitivity bad mode (BENCH_NOTES "
+            f"'Dense-warmup rescue'). Restart with train.tome_warmup "
+            f"(e.g. 0.375 = 37.5% of total steps) to train dense through "
+            f"the takeoff window, then merge.")
+
+
 class Trainer:
     def __init__(self, cfg: Config, store: Optional[Store] = None,
                  pretrained: bool = True, datasets=None):
@@ -156,6 +185,27 @@ class Trainer:
                 f"AND evaluates with its own r; leave eval_tome_r unset "
                 f"(or equal) and use eval_quantize to accelerate")
         self._warmup_step = self._build_tome_warmup_step()
+        # mid-run floor check (merged_floor_hint): eval-metric history
+        # and the emitted-once latch
+        self._auroc_history: list = []
+        self._floor_hint_done = False
+
+    def _maybe_floor_hint(self, step: int) -> None:
+        """Track eval avg_auroc and emit merged_floor_hint's measured
+        guidance at most once per run (primary process only — the hint
+        is operator guidance, not a per-rank event)."""
+        v = (self._last_eval_metrics or {}).get("avg_auroc")
+        if v is None or not math.isfinite(float(v)):
+            return
+        self._auroc_history.append((step, float(v)))
+        if self._floor_hint_done or not dist.is_primary():
+            return
+        hint = merged_floor_hint(
+            self._auroc_history, step, self.total_steps,
+            getattr(self.cfg.model, "tome_r", 0), self._tome_warmup_steps)
+        if hint:
+            self._floor_hint_done = True
+            print(hint)
 
     def _build_tome_warmup_step(self):
         """Dense-warmup step for token-merged training (train.tome_warmup):
@@ -430,6 +480,7 @@ class Trainer:
                         self._last_eval_step = step
                         self.logger.log(step, self._last_eval_metrics,
                                         "eval")
+                        self._maybe_floor_hint(step)
                         # don't bill the eval pause to the next window
                         self._meter.reset()
                     if (cfg.save_strategy == "steps" and cfg.save_steps
@@ -470,6 +521,7 @@ class Trainer:
                     self._last_eval_metrics = self.evaluate()
                     self._last_eval_step = step
                     self.logger.log(step, self._last_eval_metrics, "eval")
+                    self._maybe_floor_hint(step)
                     self._meter.reset()
                 if cfg.save_strategy == "epoch":
                     self._save(step, epoch, 0)

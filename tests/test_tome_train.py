@@ -229,6 +229,32 @@ def test_tome_warmup_validation(tmp_path):
         Trainer(cfg(3, 1.5), store=fake.store, pretrained=False)
 
 
+def test_merged_floor_hint():
+    """The mid-run floor check productizes the measured bad-mode
+    signature (BENCH_NOTES 'Round 5' quality A/B: the failed inits are
+    still at their starting avg_auroc floor past ~60% of the schedule).
+    Pure-function behavior: fires only for merged, warmup-free training
+    that shows no metric progress past the threshold fraction."""
+    from chestxray_vit_tpu.train.trainer import merged_floor_hint
+
+    flat = [(300, 0.745), (600, 0.728), (900, 0.742), (1500, 0.751)]
+    takeoff = [(300, 0.745), (600, 0.748), (900, 0.861), (1500, 0.942)]
+
+    # the bad-mode signature: merged, no warmup, flat past 60%
+    hint = merged_floor_hint(flat, 1500, 2400, tome_r=32, warmup_steps=0)
+    assert hint and "tome_warmup" in hint
+    # healthy takeoff: no hint
+    assert merged_floor_hint(takeoff, 1500, 2400, 32, 0) is None
+    # dense training: inapplicable
+    assert merged_floor_hint(flat, 1500, 2400, 0, 0) is None
+    # warmup already configured (the rescue): inapplicable
+    assert merged_floor_hint(flat, 1500, 2400, 32, 900) is None
+    # too early in the schedule to judge
+    assert merged_floor_hint(flat, 900, 2400, 32, 0) is None
+    # not enough evals to compare
+    assert merged_floor_hint(flat[:1], 1500, 2400, 32, 0) is None
+
+
 def test_packed_trainer_rejects_tome_and_accel_eval(tmp_path):
     """Fail-fast composition rules (VERDICT r3 weak #5): the packed
     trainer rejects the accelerated-eval knobs at construction instead
