@@ -90,9 +90,12 @@ def main() -> None:
     # dense step function, W+1.. with the merged one (same params tree —
     # merging is parameter-free; same cosine schedule — total_steps is
     # shared, so LR is continuous across the switch).
-    tome_warmup = int(kv.get("tome_warmup", 0))
+    tome_warmup = float(kv.get("tome_warmup", 0))
     if tome_warmup and not r:
         raise SystemExit("tome_warmup requires a merged cell (r>0)")
+    if 0 < tome_warmup < 1:   # fraction of total steps, like the Trainer
+        tome_warmup = max(1, int(round(tome_warmup * steps)))
+    tome_warmup = int(tome_warmup)
     out_path = os.path.join(ROOT, kv.get("out", "BENCH_QUALITY_AB.jsonl"))
 
     enable_compilation_cache(os.path.join(ROOT, ".xla_cache"))
