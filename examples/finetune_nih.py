@@ -39,7 +39,12 @@ def main() -> int:
                          "google/vit-base-patch16-384 (or an HF model id "
                          "when the hub is reachable)")
     ap.add_argument("--preset", default="version_b",
-                    choices=["version_a", "version_b"])
+                    choices=["version_a", "version_b", "fast_finetune"],
+                    help="fast_finetune = the measured-best throughput "
+                         "recipe (b36, remat, tome r=16 decreasing); "
+                         "validate merged runs per init (README "
+                         "'Accelerated training') or set "
+                         "train.tome_warmup")
     ap.add_argument("--subset", type=int, default=None,
                     help="USE_SUBSET_DATA: train on the first N samples "
                          "(val N//5) for a fast sanity run")
