@@ -462,20 +462,26 @@ def fast_finetune_config() -> Config:
     decreasing schedule (BENCH_NOTES "tome_schedule=decreasing": r=32
     decreasing = 494.5 img/s/chip, 2.1x the dense step; r=16 = 355.7).
 
-    Ships with tome_r=16 decreasing. Quality caveat (BENCH_NOTES Round 5
-    convergence A/B, gated in tests/test_quality_band.py): merged
-    training is INIT-SENSITIVE at every headline budget on the hard
-    synthetic task (best inits 4-7 avg_auroc pts under dense, worst
-    ~0.82 vs dense 0.99) — this preset is a THROUGHPUT tool for
-    exploration and sweeps. r=16 over the faster r=32 (2.1x): equal
+    Ships with tome_r=16 decreasing AND a 37.5% dense warmup
+    (train.tome_warmup=0.375 — fraction of total steps). Why the warmup
+    is part of the recipe (BENCH_NOTES "Dense-warmup rescue", gated in
+    tests/test_quality_band.py): merged training without it is
+    INIT-SENSITIVE at every measured budget (bad-mode inits flatten at
+    the ~0.82 easy-class floor vs dense 0.99 on the hard synthetic
+    task); training dense through the takeoff window rescues every
+    measured (budget, init) cell to within ~1.8 pts of dense — at the
+    preset budget, r16 on the bad init went 0.8174 -> 0.9919. The
+    warmup is a fixed fraction, so longer fine-tunes amortize it toward
+    the full merged rate. r=16 over the faster r=32 (2.1x): equal
     measured floors, but the smaller budget discards strictly less
-    information. Train final models dense, or validate each merged run
-    (`examples/finetune_nih.py --expect-tome-band`)."""
+    information. Validation on real data:
+    `examples/finetune_nih.py --expect-tome-band`."""
     cfg = version_b_config()
     cfg.model.remat = True
     cfg.model.tome_r = 16
     cfg.model.tome_schedule = "decreasing"
     cfg.train.batch_size_per_core = 36
+    cfg.train.tome_warmup = 0.375
     return cfg
 
 

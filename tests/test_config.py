@@ -164,6 +164,10 @@ def test_fast_finetune_preset_pins_measured_best_recipe():
     assert cfg.model.tome_schedule == "decreasing"
     assert cfg.model.remat is True
     assert cfg.train.batch_size_per_core == 36
+    # the measured init-sensitivity rescue ships with the preset
+    # (BENCH_NOTES "Dense-warmup rescue": r16 bad init 0.8174 -> 0.9919
+    # with a 37.5% dense warmup); fraction of total steps
+    assert cfg.train.tome_warmup == 0.375
     # the optimization surface stays version_b's (pyc L438-L456)
     assert cfg.train.learning_rate == b.train.learning_rate
     assert cfg.train.weight_decay == b.train.weight_decay
