@@ -198,6 +198,37 @@ def test_dense_warmup_rescues_the_preset_budget():
     assert best_warm - best_base >= 0.10, (best_warm, best_base)
 
 
+def test_dense_warmup_is_not_a_depth_fix():
+    """The warmup's measured precondition (BENCH_NOTES 'Depth caveat'):
+    it inherits whatever mode DENSE is in. At 24 layers on the too-hot
+    lr=1e-3 — where dense itself floors (0.746) and no-warmup merged
+    escapes (r8_dec 0.930) — adding the warmup DRAGS the merged run
+    toward the dense trajectory (measured 0.850, 8 pts below no-warmup
+    merged). Gate: the 24-layer warmup cell must sit >=0.05 below the
+    best no-warmup merged 24-layer cell at the same lr; if re-run data
+    erases that, the 'tune lr first' guidance in README/MIGRATION is
+    stale and must move with it."""
+    rows = []
+    with open(_PATH) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    deep = [r for r in rows if r.get("layers") == 24 and r["lr"] == 1e-3]
+    warm = [r for r in deep if r.get("tome_warmup")]
+    base = [r for r in deep if not r.get("tome_warmup") and r["tome_r"] > 0]
+    dense = [r for r in deep if r["tome_r"] == 0]
+    assert warm and base and dense, "24-layer caveat cells missing"
+    best_warm = max(r["best_auroc"] for r in warm)
+    best_base = max(r["best_auroc"] for r in base)
+    best_dense = max(r["best_auroc"] for r in dense)
+    # dense is the floored mode at this lr; warmup lands between dense
+    # and no-warmup merged — i.e. it transfers, not fixes, the pathology
+    assert best_dense < 0.80, best_dense
+    assert best_warm > best_dense, (best_warm, best_dense)
+    assert best_base - best_warm >= 0.05, (best_base, best_warm)
+
+
 def test_preset_matches_measured_recommendation(cells):
     """fast_finetune ships the full measured recipe: the budget must use
     the decreasing schedule (constant is a measured quality no-go), its
