@@ -76,10 +76,21 @@ def test_required_cells_present(cells):
 
 
 def test_dense_plateau_band(cells):
-    """Dense converges on the hard task (>=0.985 best avg_auroc in every
-    dense cell) — the anchor all merged deltas are read against."""
-    for c in _best(cells, tome_r=0):
+    """Dense converges on the hard task in its sharp-takeoff mode
+    (>=0.985 best avg_auroc on inits 0/1) — the anchor all merged
+    deltas are read against. The queue-J init-2 anchor showed dense is
+    ALSO init-sensitive (takeoff ~2100, best 0.821 at 2400 steps,
+    still rising — while the SAME init's merged runs reach 0.94): the
+    takeoff bimodality is a property of the task's optimization, not
+    of merging alone. Gate both facts."""
+    dense = _best(cells, tome_r=0)
+    assert max(c["best_auroc"] for c in dense) >= 0.985, dense
+    sharp = [c for c in dense if c.get("init_seed", 0) in (0, 1)]
+    for c in sharp:
         assert c["best_auroc"] >= 0.985, c
+    late = [c for c in dense if c.get("init_seed") == 2]
+    if late:  # the dense bad mode persists in the data
+        assert min(c["best_auroc"] for c in late) < 0.92, late
 
 
 def test_headline_budgets_learning_floor_and_init_sensitivity(cells):
