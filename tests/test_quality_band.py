@@ -211,32 +211,39 @@ def test_dense_warmup_rescues_the_preset_budget():
 
 def test_dense_warmup_can_miss_a_late_takeoff():
     """The warmup's second measured caveat (BENCH_NOTES 'Third-init
-    caveat'): W must cover the run's OWN dense takeoff. On init_seed=2
-    — whose no-warmup merged runs are in the good mode (>=0.92) — the
-    in-run dense track sits at ~0.69 at step 900 (a late takeoff), so
-    tome_warmup=900 switches mid-takeoff and the run flattens at the
-    easy-class floor. This is why the docs say to size W from a dense
-    pilot and treat a post-switch floor as a miss; if re-run cells
-    erase it, that guidance must move with the data."""
+    caveat'), unified with the depth caveat into one rule: the warmup
+    inherits whatever mode DENSE is in. On init_seed=2 dense itself is
+    slow (takeoff ~2100, ~0.82 at 2400 steps) while the same init's
+    no-warmup merged runs are in the good mode (>=0.92) — and the
+    warmup floors the merged run at EVERY tested W (900 and 1500), so
+    'retry with a larger W' is a measured no-go: the docs say to
+    restart a post-switch floor WITHOUT the warmup. If re-run cells
+    erase any leg of this, that guidance must move with the data."""
     miss = [c for c in _warmup_cells()
             if c["tome_r"] == 16 and c["schedule"] == "decreasing"
-            and c.get("init_seed") == 2 and c["tome_warmup"] == 900]
-    assert miss, "the init-2 warmup-miss cell is missing"
+            and c.get("init_seed") == 2]
+    assert len({c["tome_warmup"] for c in miss}) >= 2, \
+        "need the init-2 miss at two warmup sizes (900 and 1500)"
     base = [c for c in _cells()
             if c["tome_r"] == 16 and c["schedule"] == "decreasing"
             and c.get("init_seed") == 2 and c["steps"] == 2400]
     assert base, "the init-2 no-warmup anchor cell is missing"
-    best_miss = max(c["best_auroc"] for c in miss)
+    dense = [c for c in _cells()
+             if c["tome_r"] == 0 and c.get("init_seed") == 2
+             and c["steps"] == 2400]
+    assert dense, "the init-2 dense anchor cell is missing"
     best_base = max(c["best_auroc"] for c in base)
-    # the same init learns well without warmup...
+    best_dense = max(c["best_auroc"] for c in dense)
+    # the same init learns well merged without warmup...
     assert best_base >= 0.92, best_base
-    # ...but the mid-takeoff switch leaves it at the floor
-    assert best_miss <= 0.80, best_miss
-    # and the switch landed mid-takeoff: the in-run dense track at the
-    # warmup boundary is well below the sharp-takeoff inits' ~0.91
-    row = max(miss, key=lambda c: c["best_auroc"])
-    at_900 = dict((s, a) for s, a in row["evals"]).get(900)
-    assert at_900 is not None and at_900 <= 0.80, at_900
+    # ...dense itself is in its slow mode (well under its sharp-mode
+    # 0.985 band at equal steps)...
+    assert best_dense < 0.92, best_dense
+    # ...and EVERY warmup size floors the merged run: pure merged >
+    # pure dense > any warmup on a dense-slow init
+    for c in miss:
+        assert c["best_auroc"] <= 0.80, c
+        assert c["best_auroc"] < best_dense, c
 
 
 def test_dense_warmup_is_not_a_depth_fix():
